@@ -1,0 +1,257 @@
+"""Image payload kernels (D20 in SURVEY §2.8) — pure numpy + stdlib zlib.
+
+PIL/cv2 are absent from this environment, so codecs are from-scratch:
+
+- ``fmt='raw'``: C-order RGB uint8 bytes (lossless, PSNR = inf)
+- ``fmt='png'``: real PNG (RFC 2083): IHDR/IDAT/IEND chunks, zlib
+  deflate, filter type 0 on encode; decode handles filter types 0-4
+  (None/Sub/Up/Average/Paeth) so foreign encoders round-trip too
+- PSNR = 10*log10(255^2 / MSE) — the BASELINE.json:15 invariant is
+  PSNR >= 40 dB for lossy formats, exact equality for lossless
+- pHash: 64-bit perceptual hash — 32x32 grayscale → 2D DCT-II →
+  top-left 8x8 (skipping DC) sign-vs-median bits
+
+The deterministic synthesis here is the `images` table generator of
+FIXTURES.md §1 — every column derivable from image_id alone, so any
+executor regenerates rows without shuffle or driver broadcast.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# raw codec
+# ---------------------------------------------------------------------------
+
+def encode_raw(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → C-order bytes."""
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    return np.ascontiguousarray(img).tobytes()
+
+
+def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (RFC 2083)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes (color type 2, bit depth 8, filter 0)."""
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8. Supports 8-bit RGB/RGBA, filters 0-4."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    w = h = bpp = 0
+    channels = 3
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype not in (2, 6) or interlace:
+                raise ValueError("unsupported PNG variant")
+            channels = 3 if ctype == 2 else 4
+            bpp = channels
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * channels
+    raw = raw.reshape(h, stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, w * channels), dtype=np.uint8)
+    for row in range(h):
+        f = filters[row]
+        cur = raw[row, 1:].astype(np.uint8).copy()
+        prev = out[row - 1] if row else np.zeros(w * channels, dtype=np.uint8)
+        if f == 0:
+            out[row] = cur
+        elif f == 1:  # Sub — sequential in x, vectorize per byte-offset lane
+            lane = cur.reshape(w, channels)
+            acc = np.cumsum(lane.astype(np.int64), axis=0) % 256
+            out[row] = acc.astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            out[row] = cur + prev
+        elif f == 3:  # Average
+            o = out[row]
+            for x in range(w * channels):
+                left = int(o[x - bpp]) if x >= bpp else 0
+                o[x] = (int(cur[x]) + (left + int(prev[x])) // 2) % 256
+        elif f == 4:  # Paeth
+            o = out[row]
+            for x in range(w * channels):
+                a = int(o[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                o[x] = (int(cur[x]) + int(_paeth(np.uint8(a), prev[x], np.uint8(c)))) % 256
+        else:
+            raise ValueError(f"bad filter {f}")
+    img = out.reshape(h, w, channels)
+    return img[:, :, :3].copy()
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return decode_raw(data, w, h)
+    if fmt == "png":
+        return decode_png(data)
+    # jpeg etc.: decoder libs absent in this container — plumbing (schema,
+    # batching, UDF signature) is real; the codec itself is stubbed.
+    raise NotImplementedError(f"image format {fmt!r} not available in this environment")
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """10*log10(255^2/MSE); inf when identical (BASELINE.json:15 invariant)."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n, dtype=np.float64)
+        _DCT32 = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    return _DCT32
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (public pHash algorithm).
+
+    Grayscale → resize to 32x32 (area mean) → 2D DCT-II → 8x8 low-freq
+    block (skip DC) → bit = coef > median. Returns signed int64.
+    """
+    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    # area-mean resize to 32x32 via index binning
+    yi = (np.arange(h) * 32 // h).astype(np.int64)
+    xi = (np.arange(w) * 32 // w).astype(np.int64)
+    small = np.zeros((32, 32), dtype=np.float64)
+    cnt = np.zeros((32, 32), dtype=np.float64)
+    np.add.at(small, (yi[:, None], xi[None, :]), gray)
+    np.add.at(cnt, (yi[:, None], xi[None, :]), 1.0)
+    small /= np.maximum(cnt, 1.0)
+    m = _dct_matrix(32)
+    dct = m @ small @ m.T
+    block = dct[:8, :8].copy()
+    flat = np.concatenate([block.ravel()[1:]])  # skip DC
+    med = np.median(flat)
+    bits = (block.ravel() > med).astype(np.uint64)[:64]
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        val |= np.uint64(b) << np.uint64(i)
+    return int(val.view(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthesis (FIXTURES.md §1 — derivable from image_id alone)
+# ---------------------------------------------------------------------------
+
+CITY_LATLNG = np.array(
+    [
+        (40.7128, -74.0060), (51.5074, -0.1278), (35.6762, 139.6503),
+        (-23.5505, -46.6333), (19.0760, 72.8777), (31.2304, 121.4737),
+        (48.8566, 2.3522), (30.0444, 31.2357), (-33.8688, 151.2093),
+        (55.7558, 37.6173), (34.0522, -118.2437), (6.5244, 3.3792),
+        (-34.6037, -58.3816), (28.6139, 77.2090), (39.9042, 116.4074),
+        (1.3521, 103.8198),
+    ],
+    dtype=np.float64,
+)
+_NOUNS = ["bridge", "park", "tower", "market", "museum", "harbor", "plaza", "street"]
+_ZIPF_W = 1.0 / np.arange(1, len(CITY_LATLNG) + 1, dtype=np.float64)
+_ZIPF_CDF = np.cumsum(_ZIPF_W / _ZIPF_W.sum())
+
+
+def synth_row_seed(i: int) -> np.random.Generator:
+    return np.random.default_rng(42_000_000 + int(i))
+
+
+def synth_image(i: int) -> tuple[bytes, int, int, str]:
+    """Deterministic image bytes for row i (fmt='raw')."""
+    w = 16 + (i % 4) * 16
+    h = 16 + ((i // 4) % 4) * 16
+    rng = synth_row_seed(i)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return encode_raw(img), w, h, "raw"
+
+
+def synth_latlng(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized geotag synthesis: 80% Zipf-clustered on 16 cities
+    (the dense-tile skew the north rule targets), 20% uniform."""
+    ids = np.asarray(ids, dtype=np.int64)
+    # per-row deterministic uniforms via splitmix64-style hashing
+    def h64(x, salt):
+        z = (x.astype(np.uint64) + np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        return (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+    u_mode = h64(ids, 1)
+    u_city = h64(ids, 2)
+    n1 = h64(ids, 3) + h64(ids, 4) + h64(ids, 5) - 1.5  # approx normal (Irwin-Hall)
+    n2 = h64(ids, 6) + h64(ids, 7) + h64(ids, 8) - 1.5
+    city = np.searchsorted(_ZIPF_CDF, u_city).clip(0, len(CITY_LATLNG) - 1)
+    lat_c = CITY_LATLNG[city, 0] + n1 * 0.05
+    lng_c = CITY_LATLNG[city, 1] + n2 * 0.05
+    lat_u = h64(ids, 9) * 170.1 - 85.05
+    lng_u = h64(ids, 10) * 360.0 - 180.0
+    clustered = u_mode < 0.8
+    return np.where(clustered, lat_c, lat_u), np.where(clustered, lng_c, lng_u)
+
+
+def synth_caption(i: int, lat: float, lng: float) -> str:
+    # nearest city by euclidean degree distance (deterministic)
+    d = (CITY_LATLNG[:, 0] - lat) ** 2 + (CITY_LATLNG[:, 1] - lng) ** 2
+    c = int(np.argmin(d))
+    return f"caption for img{i:012d}: {_NOUNS[i % len(_NOUNS)]} near city{c}"

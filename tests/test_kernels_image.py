@@ -1,0 +1,106 @@
+"""Image kernel tests (D20) — codec round-trip, PSNR, pHash, synthesis."""
+
+import numpy as np
+import pytest
+
+from mvtspark.kernels import image
+
+
+def _img(h=24, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_raw_roundtrip():
+    img = _img()
+    data = image.encode_raw(img)
+    out = image.decode_raw(data, 32, 24)
+    assert np.array_equal(out, img)
+    assert image.psnr(img, out) == float("inf")
+
+
+def test_png_roundtrip():
+    img = _img(17, 23, 1)  # odd dims
+    data = image.encode_png(img)
+    out = image.decode_png(data)
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_png_filters_decode():
+    """Decode PNGs using Sub/Up filters (foreign-encoder robustness)."""
+    import struct
+    import zlib
+
+    img = _img(6, 5, 2)
+    h, w = img.shape[:2]
+    rows = []
+    for r in range(h):
+        line = img[r].reshape(-1).astype(np.int64)
+        if r % 2 == 0:  # filter 1: Sub
+            prev_px = np.concatenate([np.zeros(3, np.int64), line[:-3]])
+            rows.append(bytes([1]) + ((line - prev_px) % 256).astype(np.uint8).tobytes())
+        else:  # filter 2: Up
+            up = img[r - 1].reshape(-1).astype(np.int64)
+            rows.append(bytes([2]) + ((line - up) % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        image._PNG_SIG
+        + image._chunk(b"IHDR", ihdr)
+        + image._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + image._chunk(b"IEND", b"")
+    )
+    out = image.decode_png(data)
+    assert np.array_equal(out, img)
+
+
+def test_decode_image_dispatch_and_stub():
+    img = _img()
+    assert np.array_equal(image.decode_image(image.encode_raw(img), 32, 24, "raw"), img)
+    assert np.array_equal(image.decode_image(image.encode_png(img), 32, 24, "png"), img)
+    with pytest.raises(NotImplementedError):
+        image.decode_image(b"\xff\xd8\xff", 32, 24, "jpeg")
+
+
+def test_psnr():
+    img = _img()
+    noisy = img.astype(np.int64).copy()
+    noisy[0, 0, 0] = (noisy[0, 0, 0] + 4) % 256
+    p = image.psnr(img, noisy.astype(np.uint8))
+    assert 40.0 < p < 100.0  # one-pixel ±4 error on 24×32 is way above 40dB
+    assert image.psnr(img, img) == float("inf")
+
+
+def test_phash_properties():
+    img = _img(64, 64, 5)
+    h1 = image.phash64(img)
+    assert h1 == image.phash64(img.copy())  # deterministic
+    # small noise → small hamming distance; different image → large
+    noisy = np.clip(img.astype(np.int16) + np.random.default_rng(0).integers(-5, 6, img.shape), 0, 255).astype(np.uint8)
+    other = _img(64, 64, 99)
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(h1, image.phash64(noisy)) <= 10
+    assert ham(h1, image.phash64(other)) > 10
+
+
+def test_synth_deterministic():
+    b1, w1, h1, f1 = image.synth_image(12345)
+    b2, w2, h2, f2 = image.synth_image(12345)
+    assert b1 == b2 and (w1, h1, f1) == (w2, h2, f2)
+    assert len(b1) == w1 * h1 * 3
+    lat1, lng1 = image.synth_latlng(np.array([0, 1, 2, 10**9]))
+    lat2, lng2 = image.synth_latlng(np.array([0, 1, 2, 10**9]))
+    assert np.array_equal(lat1, lat2) and np.array_equal(lng1, lng2)
+    assert np.all(np.abs(lat1) <= 85.06) and np.all(np.abs(lng1) <= 180.0)
+
+
+def test_synth_skew():
+    """80% of points cluster near the 16 Zipf-weighted cities — the
+    dense-tile skew the north rule targets."""
+    ids = np.arange(20000)
+    lat, lng = image.synth_latlng(ids)
+    d2 = (lat[:, None] - image.CITY_LATLNG[None, :, 0]) ** 2 + (
+        lng[:, None] - image.CITY_LATLNG[None, :, 1]
+    ) ** 2
+    near_city = (d2.min(axis=1) < 1.0).mean()
+    assert 0.75 < near_city < 0.9
