@@ -1,0 +1,297 @@
+"""Deduplication operators for training-data pipelines (SURVEY brief:
+first-class engine components alongside the reference parity surface).
+
+All operate on a ``documents``-shaped DF (doc_id long, text string, ...).
+
+- exact_dedup:      hash-groupBy on normalized text (one shuffle)
+- minhash_lsh_dedup: shingle → minhash → band → bucket equi-join.
+  Candidate generation is an equi-join on (band, band_hash) — never an
+  O(n²) cross join; at 10^12 docs the band join shuffles only bucket
+  collisions. Signatures are computed in one vectorized pandas UDF.
+- simhash_dedup:    64-bit simhash + hamming-ball candidate pairing via
+  4-way band blocking (Charikar; any pair within hamming distance d<=3
+  shares at least one of 4 16-bit bands exactly).
+- ngram_jaccard_pairs: exact n-gram Jaccard on candidate pairs (the
+  verify stage after any LSH candidate generation).
+- embedding_cosine_dups: near-dup via embedding cosine >= threshold,
+  bucketed by coarse LSH sign-bits to avoid the full cross join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# deterministic minhash parameters (splitmix-style mixers, seed fixed)
+_MINHASH_PERMS = 64
+_BANDS = 16  # 16 bands × 4 rows
+
+
+def normalized_text(col="text"):
+    """Dedup normalization: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups: (dup_key, n_docs, min_doc_id keeper).
+
+    One hash aggregation; at scale this is the cheapest first pass —
+    map-side partial aggregation handles the heavy hitters.
+    """
+    return (
+        docs.withColumn("dup_key", F.md5(normalized_text()))
+        .groupBy("dup_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _shingle_minhash_udf(n: int = 3, perms: int = _MINHASH_PERMS):
+    @F.pandas_udf(ArrayType(LongType()))
+    def _f(text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # splitmix64 mixing of shingle hashes against `perms` lanes
+        A = np.random.default_rng(42).integers(1, 2**61, size=perms, dtype=np.int64).astype(np.uint64)
+        B = np.random.default_rng(43).integers(1, 2**61, size=perms, dtype=np.int64).astype(np.uint64)
+        out = []
+        for t in text:
+            toks = (t or "").lower().split()
+            if len(toks) < n:
+                shingles = {" ".join(toks)} if toks else {""}
+            else:
+                shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            hs = np.frombuffer(
+                b"".join(
+                    int.to_bytes(hash_str64(s), 8, "little") for s in shingles
+                ),
+                dtype=np.uint64,
+            )
+            # minhash: min over (a*h + b) per permutation
+            sig = (hs[:, None] * A[None, :] + B[None, :]).min(axis=0)
+            out.append(sig.view(np.int64))
+        return pd.Series(out)
+
+    return _f
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (hash() is salted per-process — unusable
+    across executors)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.withColumn("minhash", _shingle_minhash_udf(n)(F.col("text")))
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame, n: int = 3, bands: int = _BANDS, threshold: float = 0.7
+) -> DataFrame:
+    """Near-dup candidate pairs via banded minhash LSH, verified by
+    signature-level Jaccard estimate >= threshold.
+
+    Plan shape: signatures (narrow) → posexplode bands (×16) →
+    groupBy/join on band hash (ONE shuffle keyed by band bucket) →
+    pair verify (narrow). Output: (doc_a, doc_b, est_jaccard).
+    """
+    rows_per_band = _MINHASH_PERMS // bands
+    sigs = minhash_signatures(docs, n).select("doc_id", "minhash")
+    banded = sigs.select(
+        "doc_id",
+        "minhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("minhash"),
+                        b * rows_per_band + 1,
+                        rows_per_band,
+                    ).cast("string"),
+                    b,
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("minhash").alias("sig_a"),
+        "band",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("minhash").alias("sig_b"),
+        "band",
+        "band_hash",
+    )
+    pairs = (
+        left.join(right, ["band", "band_hash"], "inner")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(_MINHASH_PERMS))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def simhash_udf():
+    @F.pandas_udf(LongType())
+    def _f(text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(text), dtype=np.uint64)
+        for i, t in enumerate(text):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            hs = np.array([hash_str64(w) for w in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for b in np.flatnonzero(v > 0):
+                sim |= np.uint64(1) << np.uint64(b)
+            out[i] = sim
+        return pd.Series(out.view(np.int64))
+
+    return _f
+
+
+def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance ``max_hamming``.
+
+    Blocking: split the 64-bit hash into 4 × 16-bit bands; any pair with
+    hamming <= 3 matches exactly on >= 1 band (pigeonhole). Join per band
+    (equi-join), then exact popcount verify.
+    """
+    sims = docs.select("doc_id", simhash_udf()(F.col("text")).alias("simhash"))
+    banded = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.band_val")
+    l = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_val")
+    r = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_val")
+    pairs = (
+        l.join(r, ["band", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("doc_a", "doc_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, candidates: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate (doc_a, doc_b) pairs.
+
+    Shingle sets built natively (split + transform + array_distinct);
+    Jaccard via array_intersect/array_union sizes — no Python.
+    """
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.lit(0), F.size(F.split(normalized_text(), " ")) - n
+                    ),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split(normalized_text(), " "), i + 1, n)
+                ),
+            )
+        ).alias("shingles"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    out = (
+        candidates.join(a, "doc_a").join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def embedding_cosine_dups(
+    emb: DataFrame, threshold: float = 0.95, sign_bits: int = 8
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine similarity >= threshold.
+
+    Candidate blocking: LSH sign-bucket on the first ``sign_bits``
+    dimensions (random-hyperplane degenerate case) — near-identical
+    vectors agree on all sign bits, so the equi-join on bucket prunes the
+    cross join; exact cosine verifies. (brute-force exact variant:
+    operators/ann.py)
+    """
+    dim_seq = F.sequence(F.lit(0), F.lit(sign_bits - 1))
+    bucket = F.aggregate(
+        dim_seq,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + (F.element_at(F.col("embedding"), i + 1) >= 0).cast("long"),
+    )
+    e = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        bucket.alias("bucket"),
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"), F.lit(0.0), lambda a, v: a + v.cast("double") * v
+            )
+        ).alias("norm"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"), "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"), "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot / (F.col("norm_a") * F.col("norm_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,183 @@
+"""Spatial operators: tile assignment, cell join + PIP refine, salted
+two-stage aggregation, cell-ring-expansion kNN (J4/J5/A6/A7).
+
+Scale design (100 TB / 10^12 rows):
+- tile assignment (D19) is NATIVE column math → whole-stage codegen,
+  zero Python in the hot path;
+- the cell join (J4 phase 1) equi-joins on the grid-aligned cell key;
+  the tile-polygon dimension is broadcast when small, sort-merge with
+  AQE skew splitting otherwise;
+- PIP refinement (J4 phase 2) runs only on join survivors — a pandas
+  UDF that evaluates one ring against a whole Arrow batch of points;
+- dense-city skew is handled with explicit salting (A7): stage 1
+  aggregates on (key, salt), stage 2 merges — plus AQE skew-join on top.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.native import tile_px, tile_py, tile_x, tile_y
+from ..functions.udfs import pip_contains
+
+
+def assign_tiles(
+    images: DataFrame,
+    zoom: int,
+    extent: int = 4096,
+    lng: str = "lng",
+    lat: str = "lat",
+) -> DataFrame:
+    """Forward-project each point to (zoom, x, y) + in-tile integer px/py.
+
+    Pure native expressions (inverse of ref Geometry.cs:71-103) — Catalyst
+    codegens the whole projection; no shuffle, no UDF.
+    """
+    lngc, latc = F.col(lng), F.col(lat)
+    return images.withColumns(
+        {
+            "zoom": F.lit(zoom),
+            "x": tile_x(lngc, latc, zoom, extent),
+            "y": tile_y(lngc, latc, zoom, extent),
+            "px": F.round(tile_px(lngc, latc, zoom, extent)).cast("long"),
+            "py": F.round(tile_py(lngc, latc, zoom, extent)).cast("long"),
+        }
+    )
+
+
+def spatial_join_pip(
+    points: DataFrame,
+    tile_polys: DataFrame,
+    broadcast_dim: bool = True,
+    keep_boundary: bool = True,
+) -> DataFrame:
+    """Point-in-polygon spatial join (J4).
+
+    Phase 1: equi-join on (zoom, x, y) — the grid cell key. The polygon
+    dim is broadcast when small (≤ a few M rows), else sort-merge + AQE.
+    Phase 2: exact ray-cast refinement with the reference's boundary
+    semantics ({0,1,-1}; clipper.cs:4025-4077); boundary counts as
+    contained when ``keep_boundary`` (PIP != 0).
+    """
+    dim = tile_polys.select("zoom", "x", "y", "extent", "ring_x", "ring_y")
+    if broadcast_dim:
+        dim = F.broadcast(dim)
+    joined = points.join(dim, ["zoom", "x", "y"], "inner")
+    pip = pip_contains(F.col("px"), F.col("py"), F.col("ring_x"), F.col("ring_y"))
+    joined = joined.withColumn("pip", pip)
+    cond = F.col("pip") != 0 if keep_boundary else F.col("pip") == 1
+    return joined.where(cond).drop("ring_x", "ring_y")
+
+
+def salted_tile_counts(
+    assigned: DataFrame,
+    salt_buckets: int = 16,
+    agg_cols: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Two-stage salted aggregation over (zoom, x, y) (A7).
+
+    Dense city tiles concentrate up to ~10% of all rows on a handful of
+    keys (Zipf skew by construction); salting spreads stage-1 partials
+    over ``salt_buckets`` reducers, stage 2 merges the partials — the
+    classic partial/final split made explicit. AQE skew handling remains
+    enabled on top for residual imbalance.
+    """
+    salt = (F.crc32(F.col("image_id").cast("binary")) % salt_buckets).alias("salt")
+    stage1 = (
+        assigned.withColumn("salt", salt)
+        .groupBy("zoom", "x", "y", "salt")
+        .agg(F.count(F.lit(1)).alias("partial_cnt"))
+    )
+    return (
+        stage1.groupBy("zoom", "x", "y")
+        .agg(F.sum("partial_cnt").alias("image_count"))
+    )
+
+
+def knn_ring_join(
+    points: DataFrame,
+    sites: DataFrame,
+    k: int,
+    zoom: int,
+    max_radius: int = 4,
+) -> DataFrame:
+    """Cell-ring-expansion kNN join (J5): for each point, the k nearest
+    ``sites`` (a small dimension with lat/lng, e.g. tile centers or POIs).
+
+    Two bounded passes (no per-radius driver loop — each pass is one
+    shuffle-free broadcast join + one window):
+
+    1. cheap pass at radius 1 (3×3 = 9 candidate cells/point) — in dense
+       regions this already yields k neighbors for almost every point;
+    2. wide pass at ``max_radius`` for ONLY the unsatisfied remainder
+       (anti-join), i.e. the sparse tail pays the (2r+1)² explode, the
+       dense bulk doesn't.
+
+    At scale: sites is broadcast (dimension table); explode factor ≤ 81
+    for r ≤ 4; the remainder DF is cached so pass 2 doesn't recompute
+    pass 1's lineage.
+    """
+    from ..functions.udfs import xyz_cell
+
+    sites_c = F.broadcast(
+        sites.withColumn("site_cell", xyz_cell(F.col("lng"), F.col("lat"), zoom))
+        .select(
+            F.col("site_id"),
+            F.col("site_cell"),
+            F.col("lat").alias("site_lat"),
+            F.col("lng").alias("site_lng"),
+        )
+    )
+
+    def _pass(pts: DataFrame, radius: int) -> DataFrame:
+        ring_col = (
+            F.array(F.col("cell")) if radius == 0 else _ring_cells(F.col("cell"), radius)
+        )
+        cand = (
+            pts.withColumn("ring_cell", F.explode(ring_col))
+            .join(sites_c, F.col("ring_cell") == F.col("site_cell"), "inner")
+            .withColumn(
+                "dist2",
+                F.pow(F.col("lat") - F.col("site_lat"), 2)
+                + F.pow(F.col("lng") - F.col("site_lng"), 2),
+            )
+        )
+        w = Window.partitionBy("image_id").orderBy("dist2", "site_id")
+        return (
+            cand.dropDuplicates(["image_id", "site_id"])
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("image_id", "site_id", "dist2", F.col("rn").alias("knn_rank"))
+        )
+
+    pts = points.withColumn(
+        "cell", xyz_cell(F.col("lng"), F.col("lat"), zoom)
+    ).select("image_id", "lat", "lng", "cell").cache()
+
+    near = _pass(pts, min(1, max_radius)).cache()
+    satisfied = (
+        near.groupBy("image_id").count().where(F.col("count") >= k).select("image_id")
+    )
+    done = near.join(satisfied, "image_id", "left_semi")
+    remaining = pts.join(satisfied, "image_id", "left_anti")
+    wide = _pass(remaining, max_radius)
+    return done.unionByName(wide)
+
+
+def _ring_cells(cell: Column, radius: int) -> Column:
+    """Chebyshev ring of cells around ``cell`` as an array column
+    (pandas UDF over kernels.cells.xyz_ring)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _f(c: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from mvtspark.kernels.cells import xyz_ring
+
+        arr = xyz_ring(c.to_numpy(), radius)
+        return pd.Series([row[row >= 0] for row in arr])
+
+    return _f(cell)

@@ -1,0 +1,85 @@
+"""Text-analysis operators over ``documents`` (training-data pipeline
+components; all pure native Column expressions — zero Python in the hot
+path, so they codegen and scale linearly).
+
+- token_count: whitespace + BPE-ish subword estimate
+- quality_score: length / punctuation / stopword-ratio features
+- lang_id: stopword-hit n-gram heuristic
+- fingerprint: normalized-text digest (exact-dup key / lineage id)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "with as for on at by from"
+).split()
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count_cols(text: Column) -> dict[str, Column]:
+    ws = F.size(tokens(text))
+    # BPE-ish estimate: ~1 token per 4 chars, floor at word count
+    bpe = F.greatest(ws, F.ceil(F.length(text) / F.lit(4)).cast("int"))
+    return {"n_tokens_ws": ws, "n_tokens_bpe": bpe.cast("int")}
+
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    n_chars = F.length(text)
+    n_words = F.size(tokens(text))
+    punct = n_chars - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    stop_hits = _stop_hits(text)
+    avg_word_len = (n_chars - n_words + 1) / n_words
+    return {
+        "n_chars_q": n_chars,
+        "n_words": n_words,
+        "punct_ratio": F.round(punct / n_chars, 6),
+        "stopword_ratio": F.round(stop_hits / n_words, 6),
+        "avg_word_len": F.round(avg_word_len, 6),
+    }
+
+
+def _stop_hits(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+
+
+def quality_score(text: Column) -> Column:
+    q = quality_cols(text)
+    return F.round(
+        F.least(F.lit(1.0), q["n_words"] / 100.0) * 0.4
+        + F.greatest(F.lit(0.0), F.lit(0.3) - q["punct_ratio"]) / 0.3 * 0.3
+        + F.least(F.lit(1.0), q["stopword_ratio"] * 4) * 0.3,
+        6,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language id: English stopword hit-rate >= 5% → 'en',
+    else 'und'. (n-gram table heuristic; deterministic + SQL-expressible)."""
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    return F.when(hits / F.size(toks) >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of normalized text (rolling-hash analog
+    with exact SQL parity in DuckDB)."""
+    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def analyze(docs: DataFrame) -> DataFrame:
+    t = F.col("text")
+    cols = {}
+    cols.update(token_count_cols(t))
+    cols.update(quality_cols(t))
+    cols["quality"] = quality_score(t)
+    cols["lang_pred"] = lang_id(t)
+    cols["fp"] = fingerprint(t)
+    return docs.withColumns(cols)

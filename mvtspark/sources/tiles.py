@@ -1,0 +1,283 @@
+"""MVT tile sources/sinks (SURVEY §2.1 S1-S6).
+
+- ``scan_mvt_dir``: binaryFile scan of ``{z}-{x}-{y}.mvt`` files with
+  tile id parsed from the filename
+  (ref: src/Bench/Program.cs:54-61, src/DemoConsoleApp/program.cs:109-148)
+- ``tile_pyramid``: (zoom, col-range, row-range) grid generator
+  (ref: src/Bench/Program.cs:41-63)
+- ``tile_polygons``: rectangular tile-boundary rings in tile units
+  (FIXTURES.md §2) — the spatial-join dimension table
+- ``decode_tiles``: tiles DF → features DF via the MVT kernel
+  (mapInPandas; one Python iteration per TILE, vectorized inside)
+- ``encode_tiles``: per-(zoom,x,y) feature groups → MVT binary
+  (applyInPandas; S9)
+- ``to_geojson``: per-tile GeoJSON FeatureCollection strings
+  (ref: src/ExtensionMethods/VectorTile.cs:33-207)
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.native import parse_zxy_filename
+
+FEATURES_SCHEMA = (
+    "zoom int, x int, y int, layer string, extent int, feature_id long, "
+    "geom_type int, part_offsets array<int>, xs array<long>, ys array<long>, "
+    "props string, decode_error string"
+)
+
+TILE_SCHEMA = "zoom int, x int, y int, mvt binary"
+
+
+def scan_mvt_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of ``{z}-{x}-{y}.mvt`` → (zoom, x, y, mvt)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mvt")
+        .load(path)
+    )
+    z, x, y = parse_zxy_filename(F.col("path"))
+    return df.select(
+        z.alias("zoom"), x.alias("x"), y.alias("y"), F.col("content").alias("mvt")
+    )
+
+
+def tile_pyramid(
+    spark: SparkSession, zoom: int, col_range: tuple[int, int], row_range: tuple[int, int]
+) -> DataFrame:
+    """Grid of tile keys (ref Bench/Program.cs:41-63) — pure SQL, no UDF."""
+    cols = spark.range(col_range[0], col_range[1] + 1).select(F.col("id").alias("x"))
+    rows = spark.range(row_range[0], row_range[1] + 1).select(F.col("id").alias("y"))
+    return cols.crossJoin(rows).select(
+        F.lit(zoom).alias("zoom"), F.col("x").cast("int"), F.col("y").cast("int")
+    )
+
+
+def tile_polygons(
+    spark: SparkSession,
+    zoom: int,
+    col_range: tuple[int, int],
+    row_range: tuple[int, int],
+    extent: int = 4096,
+    inset: int = 0,
+) -> DataFrame:
+    """Tile-boundary rings in tile units (closed, first==last — the
+    decoded-ring convention, DecodeGeometry.cs:76-82). ``inset`` shrinks
+    the ring for PIP-edge-case fixtures (FIXTURES.md §2)."""
+    lo, hi = inset, extent - inset
+    ring_x = F.array(*[F.lit(v).cast("long") for v in (lo, hi, hi, lo, lo)])
+    ring_y = F.array(*[F.lit(v).cast("long") for v in (lo, lo, hi, hi, lo)])
+    return tile_pyramid(spark, zoom, col_range, row_range).select(
+        "zoom",
+        "x",
+        "y",
+        F.lit(extent).alias("extent"),
+        ring_x.alias("ring_x"),
+        ring_y.alias("ring_y"),
+    )
+
+
+def decode_tiles(tiles: DataFrame, validate: bool = False) -> DataFrame:
+    """tiles (zoom,x,y,mvt) → one row per feature (lenient mode puts the
+    error in ``decode_error`` instead of failing the job — engine-side
+    replacement for the reference's throw-on-invalid, SURVEY §1.3)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mvtspark.kernels import geom as gk
+        from mvtspark.kernels import mvt as mk
+
+        for pdf in batches:
+            out: list[dict] = []
+            for zoom, x, y, blob in zip(pdf["zoom"], pdf["x"], pdf["y"], pdf["mvt"]):
+                base = dict(zoom=int(zoom), x=int(x), y=int(y))
+                try:
+                    layers = mk.decode_tile(bytes(blob), validate=validate)
+                except Exception as e:  # lenient: error row, job survives
+                    out.append(
+                        dict(
+                            base,
+                            layer=None,
+                            extent=None,
+                            feature_id=None,
+                            geom_type=None,
+                            part_offsets=None,
+                            xs=None,
+                            ys=None,
+                            props=None,
+                            decode_error=str(e),
+                        )
+                    )
+                    continue
+                for lname, layer in layers.items():
+                    for f in layer.features:
+                        try:
+                            xs, ys, off = gk.decode_commands(f.geometry, f.geom_type)
+                            props = json.dumps(layer.properties(f), default=str)
+                            err = None
+                        except Exception as e:
+                            xs = np.empty(0, np.int64)
+                            ys = np.empty(0, np.int64)
+                            off = np.zeros(1, np.int64)
+                            props = None
+                            err = str(e)
+                        out.append(
+                            dict(
+                                base,
+                                layer=lname,
+                                extent=layer.extent,
+                                feature_id=int(f.id),
+                                geom_type=int(f.geom_type),
+                                part_offsets=off.astype(np.int32),
+                                xs=xs,
+                                ys=ys,
+                                props=props,
+                                decode_error=err,
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "zoom", "x", "y", "layer", "extent", "feature_id", "geom_type",
+                    "part_offsets", "xs", "ys", "props", "decode_error",
+                ],
+            )
+
+    return tiles.mapInPandas(_decode, schema=FEATURES_SCHEMA)
+
+
+def encode_tiles(features: DataFrame, layer_name: str = "features") -> DataFrame:
+    """Per-(zoom,x,y) feature groups → MVT binary (S9; inverse of decode).
+
+    Grouped-map applyInPandas: each group is one output tile. Properties
+    come from the ``props`` JSON column; the layer key/value dictionaries
+    are rebuilt per tile (dictionary encoding, ref VectorTileLayer.cs:94-100).
+    Features are ordered by feature_id for a deterministic byte stream (W2).
+    """
+
+    def _encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from mvtspark.kernels import geom as gk
+        from mvtspark.kernels import mvt as mk
+
+        zoom, x, y = key
+        pdf = pdf.sort_values("feature_id")
+        keys: list[str] = []
+        kidx: dict[str, int] = {}
+        values: list[tuple[int, object]] = []
+        vidx: dict[tuple, int] = {}
+        feats: list[mk.Feature] = []
+        extent = int(pdf["extent"].iloc[0]) if len(pdf) else 4096
+        for row in pdf.itertuples(index=False):
+            tags: list[int] = []
+            props = json.loads(row.props) if row.props else {}
+            for k, v in props.items():
+                if k not in kidx:
+                    kidx[k] = len(keys)
+                    keys.append(k)
+                if isinstance(v, bool):
+                    tv = (mk.V_BOOL, v)
+                elif isinstance(v, int):
+                    tv = (mk.V_INT, v)
+                elif isinstance(v, float):
+                    tv = (mk.V_DOUBLE, v)
+                else:
+                    tv = (mk.V_STRING, str(v))
+                if tv not in vidx:
+                    vidx[tv] = len(values)
+                    values.append(tv)
+                tags += [kidx[k], vidx[tv]]
+            cmds = gk.encode_commands(
+                np.asarray(row.xs, dtype=np.int64),
+                np.asarray(row.ys, dtype=np.int64),
+                np.asarray(row.part_offsets, dtype=np.int64),
+                int(row.geom_type),
+            )
+            feats.append(
+                mk.Feature(
+                    id=int(row.feature_id),
+                    geom_type=int(row.geom_type),
+                    geometry=cmds,
+                    tags=np.asarray(tags, dtype=np.int64),
+                )
+            )
+        layer = mk.Layer(
+            name=layer_name, version=2, extent=extent, keys=keys,
+            values=values, features=feats,
+        )
+        return pd.DataFrame(
+            {
+                "zoom": [int(zoom)],
+                "x": [int(x)],
+                "y": [int(y)],
+                "mvt": [mk.encode_tile([layer])],
+                "feature_count": [len(feats)],
+            }
+        )
+
+    return features.groupBy("zoom", "x", "y").applyInPandas(
+        _encode, schema=TILE_SCHEMA + ", feature_count int"
+    )
+
+
+def to_geojson(features: DataFrame) -> DataFrame:
+    """Per-tile GeoJSON FeatureCollection (S5).
+
+    ref: src/ExtensionMethods/VectorTile.cs:33-207 — geometry projected
+    to WGS84 via ToLngLat per vertex (ExtensionMethods/VectorTileFeature.cs:26-53)
+    with multipart type promotion (VectorTile.cs:87-151)."""
+
+    def _geo(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from mvtspark.kernels.proj import tile_to_lnglat
+
+        zoom, x, y = int(key[0]), int(key[1]), int(key[2])
+        feats = []
+        for row in pdf.itertuples(index=False):
+            xs = np.asarray(row.xs, dtype=np.float64)
+            ys = np.asarray(row.ys, dtype=np.float64)
+            off = np.asarray(row.part_offsets, dtype=np.int64)
+            extent = int(row.extent or 4096)
+            lng, lat = tile_to_lnglat(xs, ys, zoom, np.full_like(xs, x), np.full_like(ys, y), extent)
+            parts = [
+                [[round(float(a), 6), round(float(b), 6)] for a, b in
+                 zip(lng[off[i]:off[i + 1]], lat[off[i]:off[i + 1]])]
+                for i in range(len(off) - 1)
+            ]
+            gt = int(row.geom_type)
+            multi = len(parts) > 1
+            if gt == 1:
+                coords = [p for part in parts for p in part]
+                multi = len(coords) > 1
+                gjt = "MultiPoint" if multi else "Point"
+                gj = coords if multi else coords[0]
+            elif gt == 2:
+                gjt = "MultiLineString" if multi else "LineString"
+                gj = parts if multi else parts[0]
+            else:
+                gjt = "Polygon"  # rings stay nested; Multi* split is by
+                # winding in full generality — single polygon w/ holes here
+                gj = parts
+            feats.append(
+                {
+                    "type": "Feature",
+                    "id": int(row.feature_id),
+                    "geometry": {"type": gjt, "coordinates": gj},
+                    "properties": json.loads(row.props) if row.props else {},
+                }
+            )
+        doc = json.dumps({"type": "FeatureCollection", "features": feats})
+        return pd.DataFrame({"zoom": [zoom], "x": [x], "y": [y], "geojson": [doc]})
+
+    return features.groupBy("zoom", "x", "y").applyInPandas(
+        _geo, schema="zoom int, x int, y int, geojson string"
+    )

@@ -1,0 +1,146 @@
+"""Spark-layer tests: tile assignment, PIP join, salted agg, flagship
+parity, checkpoint resume, kNN ring join. Cross-checked against the
+pure-numpy kernels (the single-process oracle, SURVEY §5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mvtspark.kernels.image import synth_latlng
+from mvtspark.kernels.proj import lnglat_to_tile
+from mvtspark.operators.spatial import assign_tiles, salted_tile_counts, spatial_join_pip
+from mvtspark.sources.images import synth_images
+
+N = 400
+ZOOM = 8
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return synth_images(spark, N, with_bytes=False).cache()
+
+
+def test_synth_images_deterministic_and_distributed(spark, images):
+    rows = images.orderBy("image_id").limit(5).collect()
+    again = synth_images(spark, N, with_bytes=False).orderBy("image_id").limit(5).collect()
+    assert rows == again
+    assert images.count() == N
+
+
+def test_assign_tiles_matches_numpy_oracle(spark, images):
+    got = assign_tiles(images, ZOOM).select("image_id", "x", "y", "px", "py").collect()
+    ids = np.arange(N)
+    lat, lng = synth_latlng(ids)
+    tx, ty, px, py = lnglat_to_tile(lng, lat, ZOOM)
+    exp = {
+        f"img{i:012d}": (int(tx[i]), int(ty[i]), int(round(px[i])), int(round(py[i])))
+        for i in ids
+    }
+    for r in got:
+        e = exp[r.image_id]
+        assert (r.x, r.y) == e[:2], r.image_id
+        # px/py rounding: Spark ROUND is half-up, numpy round() half-even;
+        # allow off-by-one only exactly at .5 boundaries
+        assert abs(r.px - e[2]) <= 1 and abs(r.py - e[3]) <= 1
+
+
+def test_spatial_join_pip_full_coverage(spark, images):
+    """Every point falls in its own tile's rect ring (boundary counts)."""
+    assigned = assign_tiles(images, ZOOM)
+    ring_x = F.array(*[F.lit(v).cast("long") for v in (0, 4096, 4096, 0, 0)])
+    ring_y = F.array(*[F.lit(v).cast("long") for v in (0, 0, 4096, 4096, 0)])
+    polys = (
+        assigned.select("zoom", "x", "y").distinct()
+        .withColumns({"extent": F.lit(4096), "ring_x": ring_x, "ring_y": ring_y})
+    )
+    joined = spatial_join_pip(assigned, polys)
+    assert joined.count() == N
+    assert joined.where(F.col("pip") == 0).count() == 0
+
+
+def test_spatial_join_pip_subtile_polygon(spark, images):
+    """Inset polygon excludes edge points — exact ray-cast semantics."""
+    assigned = assign_tiles(images, ZOOM)
+    lo, hi = 1024, 3072
+    ring_x = F.array(*[F.lit(v).cast("long") for v in (lo, hi, hi, lo, lo)])
+    ring_y = F.array(*[F.lit(v).cast("long") for v in (lo, lo, hi, hi, lo)])
+    polys = (
+        assigned.select("zoom", "x", "y").distinct()
+        .withColumns({"extent": F.lit(4096), "ring_x": ring_x, "ring_y": ring_y})
+    )
+    joined = spatial_join_pip(assigned, polys).select("image_id", "px", "py").collect()
+    inside = {r.image_id for r in joined}
+    for r in assign_tiles(images, ZOOM).select("image_id", "px", "py").collect():
+        expect = (lo <= r.px <= hi) and (lo <= r.py <= hi)
+        assert (r.image_id in inside) == expect
+
+
+def test_salted_counts_match_plain_groupby(spark, images):
+    assigned = assign_tiles(images, ZOOM)
+    salted = {
+        (r.x, r.y): r.image_count
+        for r in salted_tile_counts(assigned, salt_buckets=8).collect()
+    }
+    plain = {
+        (r.x, r.y): r["count"]
+        for r in assigned.groupBy("x", "y").count().collect()
+    }
+    assert salted == plain
+
+
+def test_flagship_parity(spark):
+    from mvtspark.plans.flagship import flagship
+
+    rows = flagship(spark, n_images=300, zoom=8).collect()
+    assert len(rows) > 0
+    assert all(r.parity_ok for r in rows)
+    assert sum(r.image_count for r in rows) == 300
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from mvtspark.sources.checkpoint import (
+        pending_work,
+        read_checkpoint,
+        write_stage_checkpoint,
+    )
+
+    path = str(tmp_path / "ckpt")
+    planned = spark.range(10).select(F.col("id").cast("int").alias("zoom"))
+    done_df = planned.where(F.col("zoom") < 4)
+    write_stage_checkpoint(done_df, path, job_id="j1", stage="s1", lineage="test")
+    ck = read_checkpoint(spark, path)
+    assert ck.count() > 0
+    pend = pending_work(planned, ck, "j1", "s1", keys=("zoom",))
+    assert sorted(r.zoom for r in pend.collect()) == [4, 5, 6, 7, 8, 9]
+    # second stage unaffected
+    pend2 = pending_work(planned, ck, "j1", "s2", keys=("zoom",))
+    assert pend2.count() == 10
+
+
+def test_knn_ring_join(spark, images):
+    from mvtspark.operators.spatial import knn_ring_join
+
+    sites = spark.createDataFrame(
+        [(i, 40.0 + i * 0.3, -74.0 + i * 0.3) for i in range(6)],
+        "site_id int, lat double, lng double",
+    )
+    pts = images.limit(50)
+    out = knn_ring_join(pts, sites, k=2, zoom=6, max_radius=4)
+    got = out.groupBy("image_id").count().collect()
+    # every point that found neighbors has exactly k
+    for r in got:
+        assert r["count"] == 2
+    # oracle: brute force in numpy for a sample
+    ids = [r.image_id for r in pts.select("image_id").collect()]
+    lat, lng = synth_latlng(np.array([int(i[3:]) for i in ids]))
+    site_rows = sites.collect()
+    knn = {
+        r.image_id: sorted((r.site_id, round(r.dist2, 9)) for r in out.where(F.col("image_id") == r.image_id).collect())
+        for r in out.limit(5).collect()
+    }
+    for img_id, pairs in knn.items():
+        i = ids.index(img_id)
+        d2 = [(s.site_id, (lat[i] - s.lat) ** 2 + (lng[i] - s.lng) ** 2) for s in site_rows]
+        d2.sort(key=lambda t: (t[1], t[0]))
+        expect = sorted((sid, round(d, 9)) for sid, d in d2[:2])
+        assert [p[0] for p in pairs] == [e[0] for e in expect]
