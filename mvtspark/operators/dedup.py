@@ -34,14 +34,16 @@ def normalized_text(col="text"):
     return F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
 
 
-def exact_dedup(docs: DataFrame) -> DataFrame:
+def exact_dedup(docs: DataFrame, key=None) -> DataFrame:
     """Exact duplicate groups: (dup_key, n_docs, min_doc_id keeper).
 
     One hash aggregation; at scale this is the cheapest first pass —
-    map-side partial aggregation handles the heavy hitters.
+    map-side partial aggregation handles the heavy hitters. ``key``
+    defaults to md5(normalized text); pass any Column for coarser keys
+    (e.g. first-k-token prefix).
     """
     return (
-        docs.withColumn("dup_key", F.md5(normalized_text()))
+        docs.withColumn("dup_key", key if key is not None else F.md5(normalized_text()))
         .groupBy("dup_key")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -140,9 +140,11 @@ def knn_ring_join(
             pts.withColumn("ring_cell", F.explode(ring_col))
             .join(sites_c, F.col("ring_cell") == F.col("site_cell"), "inner")
             .withColumn(
+                # plain +/-/* only: bit-identical to the ANSI-SQL oracle
+                # (Math.pow vs libm pow may differ in the last ulp)
                 "dist2",
-                F.pow(F.col("lat") - F.col("site_lat"), 2)
-                + F.pow(F.col("lng") - F.col("site_lng"), 2),
+                (F.col("lat") - F.col("site_lat")) * (F.col("lat") - F.col("site_lat"))
+                + (F.col("lng") - F.col("site_lng")) * (F.col("lng") - F.col("site_lng")),
             )
         )
         w = Window.partitionBy("image_id").orderBy("dist2", "site_id")
