@@ -1,0 +1,799 @@
+"""Batch-vectorized MVT codec: encode/decode MANY features (spanning many
+tiles) per call, so numpy amortizes across the whole Arrow batch instead
+of paying per-feature overhead.
+
+Byte-compatible with the per-tile kernel in kernels/mvt.py + kernels/geom.py
+(tests assert byte parity); semantics are the reference's
+(src/Geometry/DecodeGeometry.cs:31-91 command streams,
+src/VectorTileReader/VectorTileReader.cs:148-375 message layout).
+
+Design: every variable-length assembly is done with the
+"repeat-offset gather" trick — for S segments with target starts t[s],
+source starts p[s], lengths L[s]:
+    idx = arange(sum(L)) + repeat(p - t, L)
+    out = src[idx]
+which concatenates S segments in one vectorized gather (no per-segment
+Python). Varints are encoded/decoded for the WHOLE batch in single
+calls to kernels.pbf.encode_varint_stream / decode_varint_stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import pbf
+from .geom import (
+    CMD_CLOSE_PATH, CMD_LINE_TO, CMD_MOVE_TO,
+    GEOM_POINT, GEOM_POLYGON, GeometryError,
+)
+from .pbf import varint_lengths, zigzag_decode, zigzag_encode
+
+
+def _gather_concat(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate src[starts[i]:starts[i]+lens[i]] segments, vectorized."""
+    lens = np.asarray(lens, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return src[:0]
+    tgt = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=tgt[1:])
+    idx = np.arange(total, dtype=np.int64) + np.repeat(starts - tgt, lens)
+    return src[idx]
+
+
+def _scatter_concat(
+    out: np.ndarray, tgt_starts: np.ndarray, src: np.ndarray,
+    src_starts: np.ndarray, lens: np.ndarray,
+) -> None:
+    """out[tgt_starts[i]:+lens[i]] = src[src_starts[i]:+lens[i]], vectorized."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return
+    tgt = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=tgt[1:])
+    base = np.arange(total, dtype=np.int64)
+    out[base + np.repeat(tgt_starts - tgt, lens)] = src[
+        base + np.repeat(src_starts - tgt, lens)
+    ]
+
+
+def _reduceat_sums(vals: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Sum vals over [bounds[i], bounds[i+1]) — empty spans give 0."""
+    n = bounds.size - 1
+    out = np.zeros(n, dtype=np.int64)
+    nonempty = bounds[:-1] < bounds[1:]
+    if vals.size and nonempty.any():
+        sums = np.add.reduceat(vals, bounds[:-1][nonempty])
+        out[nonempty] = sums
+    return out
+
+
+# ---------------------------------------------------------------------------
+# batch geometry encode: ragged features → one command-int stream
+# ---------------------------------------------------------------------------
+
+def encode_geometries_batch(
+    xs: np.ndarray,            # int64, all vertices concatenated
+    ys: np.ndarray,
+    vert_off: np.ndarray,      # int64 (nfeat+1) — feature vertex spans
+    part_off: np.ndarray,      # int64, global vertex idx of each part start
+    feat_part_off: np.ndarray, # int64 (nfeat+1) — feature part spans
+    geom_type: np.ndarray,     # int64 per feature
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (command stream uint64 for the whole batch, per-feature int spans
+    (nfeat+1)). Mirrors kernels.geom.encode_commands exactly (points: one
+    multipoint MoveTo; polygons: closed rings in → ClosePath out)."""
+    nfeat = vert_off.size - 1
+    if nfeat == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+
+    # ---- emission units: one per feature for points, one per part else
+    is_pt_feat = geom_type == GEOM_POINT
+    parts_per_feat = np.diff(feat_part_off)
+    n_units_per_feat = np.where(is_pt_feat, 1, parts_per_feat)
+    unit_feat = np.repeat(np.arange(nfeat), n_units_per_feat)
+    n_units = unit_feat.size
+    unit_off_in_feat = np.arange(n_units) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_units_per_feat)))[:-1], n_units_per_feat
+    )
+    # unit vertex spans
+    u_start = np.where(
+        is_pt_feat[unit_feat],
+        vert_off[unit_feat],
+        # part start: part_off[feat_part_off[f] + k]
+        part_off[
+            np.minimum(
+                feat_part_off[unit_feat] + unit_off_in_feat, feat_part_off[-1] - 0
+            ).clip(0, part_off.size - 1)
+        ] if part_off.size else vert_off[unit_feat],
+    )
+    part_idx = feat_part_off[unit_feat] + unit_off_in_feat
+    if part_off.size:
+        next_bound = np.where(
+            part_idx + 1 < feat_part_off[unit_feat + 1],
+            part_off[np.minimum(part_idx + 1, part_off.size - 1)],
+            vert_off[unit_feat + 1],
+        )
+    else:
+        next_bound = vert_off[unit_feat + 1]
+    u_end = np.where(is_pt_feat[unit_feat], vert_off[unit_feat + 1], next_bound)
+
+    u_gtype = geom_type[unit_feat]
+    is_poly = u_gtype == GEOM_POLYGON
+    # polygons: validate closure, drop duplicate closing vertex
+    if is_poly.any():
+        ps, pe = u_start[is_poly], u_end[is_poly]
+        if (pe - ps < 2).any():
+            raise GeometryError("polygon ring must be explicitly closed")
+        if (xs[pe - 1] != xs[ps]).any() or (ys[pe - 1] != ys[ps]).any():
+            raise GeometryError("polygon ring must be explicitly closed")
+    m = (u_end - u_start) - is_poly.astype(np.int64)  # effective vertex count
+    keep_unit = m > 0
+    u_start, u_end, m = u_start[keep_unit], u_end[keep_unit], m[keep_unit]
+    unit_feat = unit_feat[keep_unit]
+    u_gtype, is_poly = u_gtype[keep_unit], is_poly[keep_unit]
+    is_pt = u_gtype == GEOM_POINT
+    n_units = unit_feat.size
+
+    # ---- kept vertices (in emission order) + per-feature cursor deltas
+    vx = _gather_concat(xs, u_start, m)
+    vy = _gather_concat(ys, u_start, m)
+    nv = vx.size
+    v_unit = np.repeat(np.arange(n_units), m)
+    v_feat = unit_feat[v_unit]
+    dx = np.diff(vx, prepend=0)
+    dy = np.diff(vy, prepend=0)
+    feat_first = np.ones(nv, dtype=bool)
+    feat_first[1:] = v_feat[1:] != v_feat[:-1]
+    dx[feat_first] = vx[feat_first]
+    dy[feat_first] = vy[feat_first]
+    zx = zigzag_encode(dx).astype(np.uint64)
+    zy = zigzag_encode(dy).astype(np.uint64)
+
+    # ---- command-int layout per unit
+    # point unit:      [MoveTo(m)] + 2m params                 → 1 + 2m
+    # line/poly unit:  [MoveTo(1), p, p] + (m>1: [LineTo(m-1)] + 2(m-1)) + (poly: [Close])
+    multi = (~is_pt) & (m > 1)
+    unit_len = np.where(
+        is_pt, 1 + 2 * m, 3 + np.where(multi, 1 + 2 * (m - 1), 0) + is_poly
+    )
+    u_base = np.zeros(n_units + 1, dtype=np.int64)
+    np.cumsum(unit_len, out=u_base[1:])
+    total_ints = int(u_base[-1])
+    stream = np.zeros(total_ints, dtype=np.uint64)
+
+    # headers
+    mv_count = np.where(is_pt, m, 1)
+    stream[u_base[:-1]] = ((mv_count.astype(np.uint64)) << np.uint64(3)) | np.uint64(
+        CMD_MOVE_TO
+    )
+    if multi.any():
+        stream[u_base[:-1][multi] + 3] = (
+            (m[multi] - 1).astype(np.uint64) << np.uint64(3)
+        ) | np.uint64(CMD_LINE_TO)
+    if is_poly.any():
+        stream[u_base[1:][is_poly] - 1] = np.uint64((1 << 3) | CMD_CLOSE_PATH)
+
+    # params: vertex ordinal k within unit
+    v_unit_start = np.zeros(n_units, dtype=np.int64)
+    np.cumsum(m[:-1], out=v_unit_start[1:])
+    k = np.arange(nv, dtype=np.int64) - v_unit_start[v_unit]
+    px_pos = u_base[:-1][v_unit] + 1 + 2 * k + ((k >= 1) & ~is_pt[v_unit])
+    stream[px_pos] = zx
+    stream[px_pos + 1] = zy
+
+    # per-feature int spans (units are feature-contiguous)
+    feat_ints = np.zeros(nfeat, dtype=np.int64)
+    np.add.at(feat_ints, unit_feat, unit_len)
+    feat_span = np.zeros(nfeat + 1, dtype=np.int64)
+    np.cumsum(feat_ints, out=feat_span[1:])
+    return stream, feat_span
+
+
+# ---------------------------------------------------------------------------
+# batch feature-message assembly
+# ---------------------------------------------------------------------------
+
+F_FEATURES_KEY = 0x12  # (2<<3)|WT_BYTES — layer.features
+F_ID_KEY = 0x08        # (1<<3)|WT_VARINT
+F_TAGS_KEY = 0x12      # (2<<3)|WT_BYTES
+F_TYPE_KEY = 0x18      # (3<<3)|WT_VARINT
+F_GEOM_KEY = 0x22      # (4<<3)|WT_BYTES
+
+
+def encode_features_batch(
+    feature_id: np.ndarray,    # int64
+    geom_type: np.ndarray,     # int64
+    tags_flat: np.ndarray,     # uint64, concatenated tag index pairs
+    tag_off: np.ndarray,       # int64 (nfeat+1)
+    xs: np.ndarray, ys: np.ndarray, vert_off: np.ndarray,
+    part_off: np.ndarray, feat_part_off: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode nfeat features → (one uint8 buffer of concatenated
+    layer-level `features` fields (key+len+message each), per-feature
+    byte spans (nfeat+1)). Byte-identical to mvt.encode_feature wrapped
+    in pbf.ld_field(2, ...)."""
+    nfeat = feature_id.size
+    if nfeat == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+
+    geom_stream, geom_span = encode_geometries_batch(
+        xs, ys, vert_off, part_off, feat_part_off, geom_type
+    )
+    geom_bytes = np.frombuffer(pbf.encode_varint_stream(geom_stream), dtype=np.uint8)
+    geom_vlens = varint_lengths(geom_stream)
+    geom_blen = _reduceat_sums(geom_vlens, geom_span)
+    geom_bstart = np.zeros(nfeat, dtype=np.int64)
+    np.cumsum(geom_blen[:-1], out=geom_bstart[1:])
+
+    tags_bytes = np.frombuffer(
+        pbf.encode_varint_stream(tags_flat.astype(np.uint64)), dtype=np.uint8
+    )
+    tags_vlens = varint_lengths(tags_flat.astype(np.uint64))
+    tags_blen = _reduceat_sums(tags_vlens, tag_off)
+    tags_bstart = np.zeros(nfeat, dtype=np.int64)
+    np.cumsum(tags_blen[:-1], out=tags_bstart[1:])
+
+    has_id = feature_id != 0          # mvt.encode_feature emits id only if truthy
+    has_tags = np.diff(tag_off) > 0
+    fid_u = feature_id.astype(np.uint64)
+    id_len = varint_lengths(fid_u)
+    gt_u = geom_type.astype(np.uint64)
+    geom_len_vl = varint_lengths(geom_blen.astype(np.uint64))
+    tags_len_vl = varint_lengths(tags_blen.astype(np.uint64))
+
+    # feature message length (inside the LD field)
+    msg_len = (
+        has_id * (1 + id_len)
+        + has_tags * (1 + tags_len_vl + tags_blen)
+        + (1 + 1)                       # type key + 1-byte varint (1..3)
+        + 1 + geom_len_vl + geom_blen   # geometry key + len + payload
+    )
+    msg_len_vl = varint_lengths(msg_len.astype(np.uint64))
+    field_len = 1 + msg_len_vl + msg_len  # features key + len + message
+
+    # ---- varint groups: g1 = [0x12, msg_len, (0x08, id)?, (0x12, tags_len)?]
+    #                     g2 = [0x18, gtype, 0x22, geom_len]
+    # emitted per feature as: g1 | tags_payload | g2 | geom_payload
+    g1_count = 2 + has_id * 2 + has_tags * 2
+    g2_count = np.full(nfeat, 4, dtype=np.int64)
+    # build the interleaved varint VALUE stream: per feature g1 then g2
+    slots = np.zeros((nfeat, 10), dtype=np.uint64)
+    used = np.zeros((nfeat, 10), dtype=bool)
+    col = np.zeros(nfeat, dtype=np.int64)
+
+    def _put(mask, vals):
+        nonlocal col
+        rows = np.flatnonzero(mask) if mask is not True else np.arange(nfeat)
+        c = col[rows]
+        slots[rows, c] = vals
+        used[rows, c] = True
+        col[rows] = c + 1
+
+    _put(True, np.full(nfeat, F_FEATURES_KEY, dtype=np.uint64))
+    _put(True, msg_len.astype(np.uint64))
+    _put(has_id, np.full(int(has_id.sum()), F_ID_KEY, dtype=np.uint64))
+    _put(has_id, fid_u[has_id])
+    _put(has_tags, np.full(int(has_tags.sum()), F_TAGS_KEY, dtype=np.uint64))
+    _put(has_tags, tags_blen[has_tags].astype(np.uint64))
+    _put(True, np.full(nfeat, F_TYPE_KEY, dtype=np.uint64))
+    _put(True, gt_u)
+    _put(True, np.full(nfeat, F_GEOM_KEY, dtype=np.uint64))
+    _put(True, geom_blen.astype(np.uint64))
+
+    vstream = slots[used]  # row-major → per-feature g1+g2 contiguous
+    v_bytes = np.frombuffer(pbf.encode_varint_stream(vstream), dtype=np.uint8)
+    v_lens = varint_lengths(vstream)
+    # byte spans of g1 and g2 per feature within v_bytes
+    counts = np.stack([g1_count, g2_count], axis=1).reshape(-1)  # g1,g2 per feat
+    bounds = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    grp_blen = _reduceat_sums(v_lens, bounds)
+    grp_bstart = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(grp_blen[:-1], out=grp_bstart[1:])
+    g1_bstart, g2_bstart = grp_bstart[0::2], grp_bstart[1::2]
+    g1_blen, g2_blen = grp_blen[0::2], grp_blen[1::2]
+
+    # ---- final gather: src = v_bytes | tags_bytes | geom_bytes
+    src = np.concatenate([v_bytes, tags_bytes, geom_bytes])
+    tb = v_bytes.size
+    gb = tb + tags_bytes.size
+    seg_starts = np.stack(
+        [g1_bstart, tags_bstart + tb, g2_bstart, geom_bstart + gb], axis=1
+    ).reshape(-1)
+    seg_lens = np.stack(
+        [g1_blen, np.where(has_tags, tags_blen, 0), g2_blen, geom_blen], axis=1
+    ).reshape(-1)
+    out = _gather_concat(src, seg_starts, seg_lens)
+
+    feat_bspan = np.zeros(nfeat + 1, dtype=np.int64)
+    np.cumsum(field_len, out=feat_bspan[1:])
+    if int(feat_bspan[-1]) != out.size:
+        raise GeometryError("feature assembly length mismatch")
+    return out, feat_bspan
+
+
+# ---------------------------------------------------------------------------
+# batch decode
+# ---------------------------------------------------------------------------
+
+def decode_geometries_batch(
+    geom_streams: np.ndarray,  # uint64, all command ints concatenated
+    feat_span: np.ndarray,     # int64 (nfeat+1) spans into geom_streams
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode command streams for nfeat features at once.
+
+    Returns (xs, ys, part_off_global, feat_part_off) in the closed-ring
+    convention of kernels.geom.decode_commands.
+    """
+    nfeat = feat_span.size - 1
+    g = geom_streams
+    # --- per-feature header walk (cheap: few headers per feature)
+    unit_feat: list[int] = []
+    unit_cmd: list[int] = []
+    unit_count: list[int] = []
+    unit_pstart: list[int] = []
+    for f in range(nfeat):
+        p, end = int(feat_span[f]), int(feat_span[f + 1])
+        while p < end:
+            ci = int(g[p])
+            cmd = ci & 0x7
+            count = ci >> 3
+            p += 1
+            if cmd == CMD_MOVE_TO or cmd == CMD_LINE_TO:
+                unit_feat.append(f)
+                unit_cmd.append(cmd)
+                unit_count.append(count)
+                unit_pstart.append(p)
+                p += 2 * count
+            elif cmd == CMD_CLOSE_PATH:
+                unit_feat.append(f)
+                unit_cmd.append(cmd)
+                unit_count.append(0)
+                unit_pstart.append(p)
+            else:
+                raise GeometryError(f"unknown command {cmd}")
+        if p != end:
+            raise GeometryError("command stream overruns buffer")
+    uf = np.asarray(unit_feat, dtype=np.int64)
+    uc = np.asarray(unit_cmd, dtype=np.int64)
+    un = np.asarray(unit_count, dtype=np.int64)
+    ups = np.asarray(unit_pstart, dtype=np.int64)
+    n_units = uf.size
+
+    # --- extract + decode all params (vectorized)
+    isv = uc != CMD_CLOSE_PATH
+    pv_units = np.flatnonzero(isv)
+    pcounts = un[pv_units]
+    params = _gather_concat(g, ups[pv_units], 2 * pcounts).astype(np.int64)
+    dx = zigzag_decode(params[0::2])
+    dy = zigzag_decode(params[1::2])
+    nv = dx.size
+    v_feat = np.repeat(uf[pv_units], pcounts)
+    # per-feature cumsum (reset at feature starts)
+    cx = np.cumsum(dx)
+    cy = np.cumsum(dy)
+    first = np.ones(nv, dtype=bool)
+    first[1:] = v_feat[1:] != v_feat[:-1]
+    base_idx = np.flatnonzero(first)
+    carry_x = np.zeros(nv, dtype=np.int64)
+    carry_y = np.zeros(nv, dtype=np.int64)
+    run = np.repeat(np.arange(base_idx.size), np.diff(np.append(base_idx, nv)))
+    prev = base_idx - 1
+    carry_x = np.where(prev[run] >= 0, cx[np.maximum(prev[run], 0)], 0)
+    carry_y = np.where(prev[run] >= 0, cy[np.maximum(prev[run], 0)], 0)
+    xs_all = cx - carry_x
+    ys_all = cy - carry_y
+
+    # --- parts assembly (mirror decode_commands): MoveTo flushes open part;
+    # ClosePath closes it with an appended first vertex.
+    # vertex start offset per value-unit
+    vu_start = np.zeros(pv_units.size, dtype=np.int64)
+    np.cumsum(pcounts[:-1], out=vu_start[1:])
+    vstart_of_unit = np.full(n_units, -1, dtype=np.int64)
+    vstart_of_unit[pv_units] = vu_start
+    # walk units per feature (Python over units — a few per feature)
+    part_start: list[int] = []
+    part_end: list[int] = []
+    part_closed: list[bool] = []
+    part_feat: list[int] = []
+    cur = -1
+    cur_feat = -1
+    w = 0
+    for i in range(n_units):
+        f = int(uf[i])
+        if f != cur_feat:
+            if cur >= 0:
+                part_start.append(cur); part_end.append(w)
+                part_closed.append(False); part_feat.append(cur_feat)
+                cur = -1
+            cur_feat = f
+        c = int(uc[i])
+        if c == CMD_MOVE_TO:
+            if cur >= 0:
+                part_start.append(cur); part_end.append(w)
+                part_closed.append(False); part_feat.append(f)
+            cur = w
+            w += int(un[i])
+        elif c == CMD_LINE_TO:
+            if cur < 0:
+                cur = w
+            w += int(un[i])
+        else:  # ClosePath
+            if cur < 0:
+                raise GeometryError("ClosePath with no open part")
+            part_start.append(cur); part_end.append(w)
+            part_closed.append(True); part_feat.append(f)
+            cur = -1
+    if cur >= 0:
+        part_start.append(cur); part_end.append(w)
+        part_closed.append(False); part_feat.append(cur_feat)
+
+    ps = np.asarray(part_start, dtype=np.int64)
+    pe = np.asarray(part_end, dtype=np.int64)
+    pc = np.asarray(part_closed, dtype=bool)
+    pf = np.asarray(part_feat, dtype=np.int64)
+    sizes = (pe - ps) + pc.astype(np.int64)
+    out_off = np.zeros(ps.size + 1, dtype=np.int64)
+    np.cumsum(sizes, out=out_off[1:])
+    total = int(out_off[-1])
+    xs = np.empty(total, dtype=np.int64)
+    ys = np.empty(total, dtype=np.int64)
+    _scatter_concat(xs, out_off[:-1], xs_all, ps, pe - ps)
+    _scatter_concat(ys, out_off[:-1], ys_all, ps, pe - ps)
+    if pc.any():
+        close_pos = out_off[1:][pc] - 1
+        xs[close_pos] = xs_all[ps[pc]]
+        ys[close_pos] = ys_all[ps[pc]]
+
+    # feat_part_off (parts are feature-contiguous, in order)
+    parts_per_feat = np.zeros(nfeat, dtype=np.int64)
+    np.add.at(parts_per_feat, pf, 1)
+    feat_part_off = np.zeros(nfeat + 1, dtype=np.int64)
+    np.cumsum(parts_per_feat, out=feat_part_off[1:])
+    return xs, ys, out_off, feat_part_off
+
+
+# ---------------------------------------------------------------------------
+# whole-batch tile encode/decode (the Spark-facing entry points)
+# ---------------------------------------------------------------------------
+
+def encode_tile_rows(
+    tile_bounds: np.ndarray,   # int64 (ntiles+1) — feature spans per tile
+    feature_id: np.ndarray,
+    geom_type: np.ndarray,
+    part_offsets: list,        # per-feature int arrays (local offsets)
+    xs_list: list, ys_list: list,
+    props_json: list,          # per-feature JSON string or None
+    layer_name: str,
+    extents: np.ndarray,       # int64 per tile
+    version: int = 2,
+) -> list[bytes]:
+    """Encode features (sorted + grouped by tile via tile_bounds) into one
+    MVT blob per tile. Geometry/varint/assembly is batch-vectorized across
+    ALL tiles; only dictionary building (props) is per-feature Python.
+
+    Byte-identical to the per-tile path (mvt.encode_tile over
+    mvt.Layer/Feature built by sources.tiles.encode_tiles' original
+    implementation)."""
+    import json as _json
+
+    from . import mvt as mk
+
+    nfeat = feature_id.size
+    ntiles = tile_bounds.size - 1
+
+    # --- flatten ragged vertices/parts (global indexing)
+    vcounts = np.fromiter((len(a) for a in xs_list), dtype=np.int64, count=nfeat)
+    vert_off = np.zeros(nfeat + 1, dtype=np.int64)
+    np.cumsum(vcounts, out=vert_off[1:])
+    xs = np.concatenate([np.asarray(a, dtype=np.int64) for a in xs_list]) if nfeat else np.empty(0, np.int64)
+    ys = np.concatenate([np.asarray(a, dtype=np.int64) for a in ys_list]) if nfeat else np.empty(0, np.int64)
+    pcounts = np.fromiter(
+        (max(len(p) - 1, 0) for p in part_offsets), dtype=np.int64, count=nfeat
+    )
+    feat_part_off = np.zeros(nfeat + 1, dtype=np.int64)
+    np.cumsum(pcounts, out=feat_part_off[1:])
+    part_off = np.empty(int(feat_part_off[-1]), dtype=np.int64)
+    w = 0
+    for i, p in enumerate(part_offsets):
+        k = max(len(p) - 1, 0)
+        if k:
+            part_off[w : w + k] = np.asarray(p[:-1], dtype=np.int64) + vert_off[i]
+            w += k
+
+    # --- per-tile dictionaries + per-feature tags (Python, cheap dict ops)
+    tags_parts: list[list[int]] = []
+    tile_keys: list[list[str]] = []
+    tile_values: list[list[tuple[int, object]]] = []
+    for t in range(ntiles):
+        kidx: dict[str, int] = {}
+        vidx: dict[tuple, int] = {}
+        keys: list[str] = []
+        values: list[tuple[int, object]] = []
+        for i in range(int(tile_bounds[t]), int(tile_bounds[t + 1])):
+            pj = props_json[i]
+            tags: list[int] = []
+            if pj:
+                for k, v in _json.loads(pj).items():
+                    ki = kidx.get(k)
+                    if ki is None:
+                        ki = kidx[k] = len(keys)
+                        keys.append(k)
+                    if isinstance(v, bool):
+                        tv = (mk.V_BOOL, v)
+                    elif isinstance(v, int):
+                        tv = (mk.V_INT, v)
+                    elif isinstance(v, float):
+                        tv = (mk.V_DOUBLE, v)
+                    else:
+                        tv = (mk.V_STRING, str(v))
+                    vi = vidx.get(tv)
+                    if vi is None:
+                        vi = vidx[tv] = len(values)
+                        values.append(tv)
+                    tags += (ki, vi)
+            tags_parts.append(tags)
+        tile_keys.append(keys)
+        tile_values.append(values)
+    tcounts = np.fromiter((len(t) for t in tags_parts), dtype=np.int64, count=nfeat)
+    tag_off = np.zeros(nfeat + 1, dtype=np.int64)
+    np.cumsum(tcounts, out=tag_off[1:])
+    tags_flat = (
+        np.fromiter(
+            (v for ts in tags_parts for v in ts), dtype=np.uint64, count=int(tag_off[-1])
+        )
+        if int(tag_off[-1])
+        else np.empty(0, np.uint64)
+    )
+
+    # --- batch feature-message encode
+    feat_buf, feat_bspan = encode_features_batch(
+        feature_id.astype(np.int64), geom_type.astype(np.int64),
+        tags_flat, tag_off, xs, ys, vert_off, part_off, feat_part_off,
+    )
+    feat_bytes = feat_buf.tobytes()
+
+    # --- per-tile layer + tile wrap (cheap Python per tile; varints
+    # inlined — ld_field/_encode_value per value dominated the profile)
+    name_b = layer_name.encode("utf-8")
+    ev = pbf.encode_varint
+    V_STRING = mk.V_STRING
+    blobs: list[bytes] = []
+    for t in range(ntiles):
+        s = int(feat_bspan[int(tile_bounds[t])])
+        e = int(feat_bspan[int(tile_bounds[t + 1])])
+        out = bytearray()
+        out += b"\x78" + ev(version)  # version key (15<<3|0)
+        nl = len(name_b)
+        out += (b"\x0a" + bytes([nl]) if nl < 128 else b"\x0a" + ev(nl))
+        out += name_b
+        out += feat_bytes[s:e]
+        for k in tile_keys[t]:
+            kb = k.encode("utf-8")
+            kl = len(kb)
+            out += (b"\x1a" + bytes([kl]) if kl < 128 else b"\x1a" + ev(kl)) + kb
+        for tt, vv in tile_values[t]:
+            if tt == V_STRING:  # hot path: string value message inline
+                vb = str(vv).encode("utf-8")
+                vl = len(vb)
+                msg = (b"\x0a" + bytes([vl]) if vl < 128 else b"\x0a" + ev(vl)) + vb
+            else:
+                msg = mk._encode_value(tt, vv)
+            ml = len(msg)
+            out += (b"\x22" + bytes([ml]) if ml < 128 else b"\x22" + ev(ml)) + msg
+        ext = int(extents[t])
+        if ext != mk.DEFAULT_EXTENT:
+            out += b"\x28" + ev(ext)
+        blobs.append(bytes(b"\x1a" + ev(len(out)) + bytes(out)))
+    return blobs
+
+
+def decode_tile_rows(blobs: list) -> tuple:
+    """Decode a batch of tile blobs → flat per-feature columns.
+
+    Returns (tile_idx, layer_names, extents, feature_ids, geom_types,
+    xs_list, ys_list, off_list, props_list, err_tiles) where err_tiles is
+    {tile_idx: error_str} for undecodable tiles (lenient mode).
+
+    Structure walk is per-tile/per-feature Python (cheap field headers);
+    varint + geometry decode is batch-vectorized across ALL features.
+    """
+    import json as _json
+
+    from . import mvt as mk
+    from .pbf import read_key, read_varint, skip
+
+    tidx: list[int] = []
+    lnames: list[str] = []
+    exts: list[int] = []
+    fids: list[int] = []
+    gtypes: list[int] = []
+    tagspans: list[tuple[int, int, int]] = []  # (buf_id, start, end)
+    geomspans: list[tuple[int, int, int]] = []
+    featlayer: list[int] = []  # per-feature layer ordinal (for props join)
+    layer_dicts: list[tuple[list[str], list]] = []
+    err_tiles: dict[int, str] = {}
+    bufs: list[np.ndarray] = []
+
+    for ti, blob in enumerate(blobs):
+        try:
+            data = bytes(blob)
+            if len(data) == 0:
+                raise mk.MvtError("tile data is empty")
+            if len(data) >= 2 and data[0] == 0x1F and data[1] == 0x8B:
+                raise mk.MvtError("tile data is gzipped")
+            buf = memoryview(data)
+            buf_id = len(bufs)
+            seen_names: set[str] = set()
+            pos, n = 0, len(buf)
+            while pos < n:
+                tag, wt, pos = read_key(buf, pos)
+                if tag != mk.T_LAYERS:
+                    pos = skip(buf, pos, wt)
+                    continue
+                ln, pos = read_varint(buf, pos)
+                lstart, lend = pos, pos + ln
+                pos = lend
+                # --- layer walk
+                name = ""
+                version = 0
+                extent = mk.DEFAULT_EXTENT
+                keys: list[str] = []
+                values: list = []
+                fspans: list[tuple[int, int]] = []
+                p = lstart
+                while p < lend:
+                    t2, w2, p = read_key(buf, p)
+                    if t2 == mk.L_VERSION:
+                        version, p = read_varint(buf, p)
+                    elif t2 == mk.L_NAME:
+                        sl, p = read_varint(buf, p)
+                        name = bytes(buf[p : p + sl]).decode("utf-8")
+                        p += sl
+                    elif t2 == mk.L_EXTENT:
+                        extent, p = read_varint(buf, p)
+                    elif t2 == mk.L_KEYS:
+                        sl, p = read_varint(buf, p)
+                        keys.append(bytes(buf[p : p + sl]).decode("utf-8"))
+                        p += sl
+                    elif t2 == mk.L_VALUES:
+                        sl, p = read_varint(buf, p)
+                        values.append(mk._decode_value(buf[p : p + sl]))
+                        p += sl
+                    elif t2 == mk.L_FEATURES:
+                        sl, p = read_varint(buf, p)
+                        fspans.append((p, p + sl))
+                        p += sl
+                    else:
+                        p = skip(buf, p, w2)
+                if name in seen_names:
+                    raise mk.MvtError(f"duplicate layer name {name}")
+                seen_names.add(name)
+                lid = len(layer_dicts)
+                layer_dicts.append((keys, values))
+                # --- feature walks (varint reads inlined — the function-call
+                # overhead of read_key/read_varint dominated the profile)
+                for fs, fe in fspans:
+                    fid = 0
+                    gt = 0
+                    tspan = (buf_id, 0, 0)
+                    gspan = (buf_id, 0, 0)
+                    p = fs
+                    while p < fe:
+                        key = data[p]
+                        p += 1
+                        if key & 0x80:  # rare: multi-byte field key
+                            key &= 0x7F
+                            sh = 7
+                            while True:
+                                b_ = data[p]
+                                p += 1
+                                key |= (b_ & 0x7F) << sh
+                                if not (b_ & 0x80):
+                                    break
+                                sh += 7
+                        t3 = key >> 3
+                        if t3 == 1:  # F_ID, varint
+                            fid = data[p]
+                            p += 1
+                            if fid & 0x80:
+                                fid &= 0x7F
+                                sh = 7
+                                while True:
+                                    b_ = data[p]
+                                    p += 1
+                                    fid |= (b_ & 0x7F) << sh
+                                    if not (b_ & 0x80):
+                                        break
+                                    sh += 7
+                        elif t3 == 3:  # F_TYPE, small varint
+                            gt = data[p]
+                            p += 1
+                        elif t3 == 2 or t3 == 4:  # F_TAGS / F_GEOMETRY, LD
+                            sl = data[p]
+                            p += 1
+                            if sl & 0x80:
+                                sl &= 0x7F
+                                sh = 7
+                                while True:
+                                    b_ = data[p]
+                                    p += 1
+                                    sl |= (b_ & 0x7F) << sh
+                                    if not (b_ & 0x80):
+                                        break
+                                    sh += 7
+                            if t3 == 2:
+                                tspan = (buf_id, p, p + sl)
+                            else:
+                                gspan = (buf_id, p, p + sl)
+                            p += sl
+                        else:
+                            p = skip(buf, p, key & 0x7)
+                    tidx.append(ti)
+                    lnames.append(name)
+                    exts.append(extent)
+                    fids.append(fid)
+                    gtypes.append(gt)
+                    tagspans.append(tspan)
+                    geomspans.append(gspan)
+                    featlayer.append(lid)
+            bufs.append(np.frombuffer(data, dtype=np.uint8))
+        except Exception as e:  # lenient: tile-level error row
+            err_tiles[ti] = str(e)
+
+    nfeat = len(fids)
+    if nfeat == 0:
+        return (tidx, lnames, exts, fids, gtypes, [], [], [], [], err_tiles)
+
+    # --- batch varint decode of all geometry + tag streams
+    buf_base = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum(
+        np.fromiter((b.size for b in bufs), dtype=np.int64, count=len(bufs)),
+        out=buf_base[1:],
+    )
+    allbuf = np.concatenate(bufs) if bufs else np.empty(0, np.uint8)
+
+    def _batch_varints(spans):
+        starts = np.fromiter(
+            (buf_base[b] + s for b, s, _ in spans), dtype=np.int64, count=nfeat
+        )
+        lens = np.fromiter((e - s for _, s, e in spans), dtype=np.int64, count=nfeat)
+        seg = _gather_concat(allbuf, starts, lens)
+        vals = pbf.decode_varint_stream(seg) if seg.size else np.empty(0, np.uint64)
+        term = (seg & 0x80) == 0
+        nvals = _reduceat_sums(
+            term.astype(np.int64),
+            np.concatenate(([0], np.cumsum(lens))),
+        )
+        span = np.zeros(nfeat + 1, dtype=np.int64)
+        np.cumsum(nvals, out=span[1:])
+        return vals, span
+
+    geom_vals, geom_span = _batch_varints(geomspans)
+    tag_vals, tag_span = _batch_varints(tagspans)
+
+    xs, ys, part_off_g, feat_part_off = decode_geometries_batch(geom_vals, geom_span)
+
+    # --- slice per-feature outputs + props join (cheap Python)
+    xs_list: list[np.ndarray] = []
+    ys_list: list[np.ndarray] = []
+    off_list: list[np.ndarray] = []
+    props_list: list = []
+    for f in range(nfeat):
+        p0, p1 = int(feat_part_off[f]), int(feat_part_off[f + 1])
+        v0 = int(part_off_g[p0]) if p0 < p1 else 0
+        v1 = int(part_off_g[p1]) if p0 < p1 else 0
+        xs_list.append(xs[v0:v1])
+        ys_list.append(ys[v0:v1])
+        off_list.append((part_off_g[p0 : p1 + 1] - v0).astype(np.int32) if p0 < p1 else np.zeros(1, np.int32))
+        keys, values = layer_dicts[featlayer[f]]
+        t0, t1 = int(tag_span[f]), int(tag_span[f + 1])
+        props: dict = {}
+        tv = tag_vals[t0:t1]
+        for j in range(0, tv.size - 1, 2):
+            props[keys[int(tv[j])]] = values[int(tv[j + 1])][1]
+        props_list.append(_json.dumps(props, default=str))
+    return (tidx, lnames, exts, fids, gtypes, xs_list, ys_list, off_list, props_list, err_tiles)

@@ -85,3 +85,44 @@ def synth_images(
     rng = spark.range(0, n, numPartitions=partitions)
     schema = IMAGES_SCHEMA if with_bytes else META_SCHEMA
     return rng.mapInPandas(lambda it: _gen(it, with_bytes), schema=schema)
+
+
+POINTS_SCHEMA = "image_id string, caption string, lat double, lng double"
+
+
+def synth_points(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    """Geotag/caption-only variant of :func:`synth_images` for the spatial
+    benchmarks — identical ids/lat/lng/captions, but fully vectorized
+    (no per-row image synthesis), so generation doesn't pollute the
+    tile-assignment + spatial-join throughput measurement."""
+
+    def _pts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mvtspark.kernels.image import CITY_LATLNG, _NOUNS, synth_latlng
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            lat, lng = synth_latlng(ids)
+            d = (CITY_LATLNG[None, :, 0] - lat[:, None]) ** 2 + (
+                CITY_LATLNG[None, :, 1] - lng[:, None]
+            ) ** 2
+            city = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "image_id": [f"img{i:012d}" for i in ids],
+                    "caption": [
+                        f"caption for img{i:012d}: {_NOUNS[i % 8]} near city{c}"
+                        for i, c in zip(ids, city)
+                    ],
+                    "lat": lat,
+                    "lng": lng,
+                }
+            )
+
+    partitions = partitions or max(8, n // 100_000)
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        _pts, schema=POINTS_SCHEMA
+    )

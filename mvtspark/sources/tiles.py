@@ -86,146 +86,173 @@ def tile_polygons(
 def decode_tiles(tiles: DataFrame, validate: bool = False) -> DataFrame:
     """tiles (zoom,x,y,mvt) → one row per feature (lenient mode puts the
     error in ``decode_error`` instead of failing the job — engine-side
-    replacement for the reference's throw-on-invalid, SURVEY §1.3)."""
+    replacement for the reference's throw-on-invalid, SURVEY §1.3).
+
+    Whole-batch vectorized: one kernels.mvt_batch.decode_tile_rows call
+    per Arrow batch (varints + geometry decoded for ALL features at once);
+    ``validate=True`` routes through the strict per-tile kernel
+    (kernels.mvt.decode_tile) which enforces the full reference
+    validation suite."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         from mvtspark.kernels import geom as gk
         from mvtspark.kernels import mvt as mk
+        from mvtspark.kernels.mvt_batch import decode_tile_rows
 
+        cols = [
+            "zoom", "x", "y", "layer", "extent", "feature_id", "geom_type",
+            "part_offsets", "xs", "ys", "props", "decode_error",
+        ]
         for pdf in batches:
-            out: list[dict] = []
-            for zoom, x, y, blob in zip(pdf["zoom"], pdf["x"], pdf["y"], pdf["mvt"]):
-                base = dict(zoom=int(zoom), x=int(x), y=int(y))
-                try:
-                    layers = mk.decode_tile(bytes(blob), validate=validate)
-                except Exception as e:  # lenient: error row, job survives
-                    out.append(
-                        dict(
-                            base,
-                            layer=None,
-                            extent=None,
-                            feature_id=None,
-                            geom_type=None,
-                            part_offsets=None,
-                            xs=None,
-                            ys=None,
-                            props=None,
-                            decode_error=str(e),
-                        )
-                    )
-                    continue
-                for lname, layer in layers.items():
-                    for f in layer.features:
-                        try:
+            if validate:
+                # strict mode: per-tile kernel with the full check suite
+                out: list[dict] = []
+                for zoom, x, y, blob in zip(pdf["zoom"], pdf["x"], pdf["y"], pdf["mvt"]):
+                    base = dict(zoom=int(zoom), x=int(x), y=int(y))
+                    try:
+                        layers = mk.decode_tile(bytes(blob), validate=True)
+                    except Exception as e:
+                        out.append(dict(base, layer=None, extent=None,
+                                        feature_id=None, geom_type=None,
+                                        part_offsets=None, xs=None, ys=None,
+                                        props=None, decode_error=str(e)))
+                        continue
+                    for lname, layer in layers.items():
+                        for f in layer.features:
                             xs, ys, off = gk.decode_commands(f.geometry, f.geom_type)
-                            props = json.dumps(layer.properties(f), default=str)
-                            err = None
-                        except Exception as e:
-                            xs = np.empty(0, np.int64)
-                            ys = np.empty(0, np.int64)
-                            off = np.zeros(1, np.int64)
-                            props = None
-                            err = str(e)
-                        out.append(
-                            dict(
-                                base,
-                                layer=lname,
-                                extent=layer.extent,
-                                feature_id=int(f.id),
-                                geom_type=int(f.geom_type),
-                                part_offsets=off.astype(np.int32),
-                                xs=xs,
-                                ys=ys,
-                                props=props,
-                                decode_error=err,
-                            )
-                        )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "zoom", "x", "y", "layer", "extent", "feature_id", "geom_type",
-                    "part_offsets", "xs", "ys", "props", "decode_error",
-                ],
+                            out.append(dict(
+                                base, layer=lname, extent=layer.extent,
+                                feature_id=int(f.id), geom_type=int(f.geom_type),
+                                part_offsets=off.astype(np.int32), xs=xs, ys=ys,
+                                props=json.dumps(layer.properties(f), default=str),
+                                decode_error=None))
+                yield pd.DataFrame(out, columns=cols)
+                continue
+
+            blobs = [bytes(b) for b in pdf["mvt"]]
+            (tix, lnames, exts, fids, gts, xsl, ysl, offl, props, errs) = (
+                decode_tile_rows(blobs)
             )
+            zoom_a = pdf["zoom"].to_numpy()
+            x_a = pdf["x"].to_numpy()
+            y_a = pdf["y"].to_numpy()
+            ti = np.asarray(tix, dtype=np.int64)
+            out_pdf = pd.DataFrame(
+                {
+                    "zoom": zoom_a[ti] if ti.size else np.empty(0, zoom_a.dtype),
+                    "x": x_a[ti] if ti.size else np.empty(0, x_a.dtype),
+                    "y": y_a[ti] if ti.size else np.empty(0, y_a.dtype),
+                    "layer": lnames,
+                    "extent": exts,
+                    "feature_id": fids,
+                    "geom_type": gts,
+                    "part_offsets": offl,
+                    "xs": xsl,
+                    "ys": ysl,
+                    "props": props,
+                    "decode_error": None,
+                }
+            )
+            if errs:  # lenient: one error row per undecodable tile
+                err_rows = pd.DataFrame(
+                    {
+                        "zoom": zoom_a[list(errs)],
+                        "x": x_a[list(errs)],
+                        "y": y_a[list(errs)],
+                        "layer": None, "extent": None, "feature_id": None,
+                        "geom_type": None, "part_offsets": None, "xs": None,
+                        "ys": None, "props": None,
+                        "decode_error": list(errs.values()),
+                    }
+                )
+                out_pdf = pd.concat([out_pdf, err_rows], ignore_index=True)
+            yield out_pdf[cols]
 
     return tiles.mapInPandas(_decode, schema=FEATURES_SCHEMA)
 
 
-def encode_tiles(features: DataFrame, layer_name: str = "features") -> DataFrame:
+def encode_tiles(
+    features: DataFrame, layer_name: str = "features", partitions: int | None = None
+) -> DataFrame:
     """Per-(zoom,x,y) feature groups → MVT binary (S9; inverse of decode).
 
-    Grouped-map applyInPandas: each group is one output tile. Properties
-    come from the ``props`` JSON column; the layer key/value dictionaries
-    are rebuilt per tile (dictionary encoding, ref VectorTileLayer.cs:94-100).
-    Features are ordered by feature_id for a deterministic byte stream (W2).
+    Plan shape (scale-critical): repartition on the tile key +
+    sortWithinPartitions + mapInPandas with cross-batch group buffering —
+    NOT a per-tile applyInPandas, whose per-group overhead dominates when
+    tiles are small (sparse zoom levels produce millions of 1-feature
+    tiles). Each Arrow batch encodes THOUSANDS of tiles in one
+    kernels.mvt_batch call. Features are ordered by feature_id for a
+    deterministic byte stream (W2); dictionary encoding per tile
+    (ref VectorTileLayer.cs:94-100).
     """
 
-    def _encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _encode_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        from mvtspark.kernels import geom as gk
-        from mvtspark.kernels import mvt as mk
+        from mvtspark.kernels.mvt_batch import encode_tile_rows
 
-        zoom, x, y = key
-        pdf = pdf.sort_values("feature_id")
-        keys: list[str] = []
-        kidx: dict[str, int] = {}
-        values: list[tuple[int, object]] = []
-        vidx: dict[tuple, int] = {}
-        feats: list[mk.Feature] = []
-        extent = int(pdf["extent"].iloc[0]) if len(pdf) else 4096
-        for row in pdf.itertuples(index=False):
-            tags: list[int] = []
-            props = json.loads(row.props) if row.props else {}
-            for k, v in props.items():
-                if k not in kidx:
-                    kidx[k] = len(keys)
-                    keys.append(k)
-                if isinstance(v, bool):
-                    tv = (mk.V_BOOL, v)
-                elif isinstance(v, int):
-                    tv = (mk.V_INT, v)
-                elif isinstance(v, float):
-                    tv = (mk.V_DOUBLE, v)
-                else:
-                    tv = (mk.V_STRING, str(v))
-                if tv not in vidx:
-                    vidx[tv] = len(values)
-                    values.append(tv)
-                tags += [kidx[k], vidx[tv]]
-            cmds = gk.encode_commands(
-                np.asarray(row.xs, dtype=np.int64),
-                np.asarray(row.ys, dtype=np.int64),
-                np.asarray(row.part_offsets, dtype=np.int64),
-                int(row.geom_type),
-            )
-            feats.append(
-                mk.Feature(
-                    id=int(row.feature_id),
-                    geom_type=int(row.geom_type),
-                    geometry=cmds,
-                    tags=np.asarray(tags, dtype=np.int64),
-                )
-            )
-        layer = mk.Layer(
-            name=layer_name, version=2, extent=extent, keys=keys,
-            values=values, features=feats,
+        n = len(pdf)
+        z = pdf["zoom"].to_numpy()
+        x = pdf["x"].to_numpy()
+        y = pdf["y"].to_numpy()
+        change = np.ones(n, dtype=bool)
+        change[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+        starts = np.flatnonzero(change)
+        tile_bounds = np.append(starts, n).astype(np.int64)
+        extents = pdf["extent"].to_numpy()[starts].astype(np.int64)
+        blobs = encode_tile_rows(
+            tile_bounds,
+            pdf["feature_id"].to_numpy().astype(np.int64),
+            pdf["geom_type"].to_numpy().astype(np.int64),
+            list(pdf["part_offsets"]),
+            list(pdf["xs"]),
+            list(pdf["ys"]),
+            list(pdf["props"]),
+            layer_name,
+            extents,
         )
         return pd.DataFrame(
             {
-                "zoom": [int(zoom)],
-                "x": [int(x)],
-                "y": [int(y)],
-                "mvt": [mk.encode_tile([layer])],
-                "feature_count": [len(feats)],
+                "zoom": z[starts], "x": x[starts], "y": y[starts],
+                "mvt": blobs,
+                "feature_count": np.diff(tile_bounds).astype(np.int32),
             }
         )
 
-    return features.groupBy("zoom", "x", "y").applyInPandas(
-        _encode, schema=TILE_SCHEMA + ", feature_count int"
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # group-aware buffering: a tile's rows may straddle Arrow batch
+        # boundaries (they never straddle partitions — we repartitioned on
+        # the key), so hold back the last tile of each batch.
+        held: pd.DataFrame | None = None
+        for pdf in batches:
+            if held is not None and len(held):
+                pdf = pd.concat([held, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            lz = pdf["zoom"].iat[-1]
+            lx = pdf["x"].iat[-1]
+            ly = pdf["y"].iat[-1]
+            tail = (pdf["zoom"] == lz) & (pdf["x"] == lx) & (pdf["y"] == ly)
+            # rows of the (possibly incomplete) final tile
+            split = int(len(pdf) - tail[::-1].cummin()[::-1].sum())
+            held = pdf.iloc[split:]
+            if split:
+                yield _encode_pdf(pdf.iloc[:split])
+        if held is not None and len(held):
+            yield _encode_pdf(held)
+
+    out_schema = TILE_SCHEMA + ", feature_count int"
+    part_cols = ["zoom", "x", "y"]
+    shuffled = (
+        features.repartition(partitions, *part_cols)
+        if partitions
+        else features.repartition(*part_cols)
     )
+    return shuffled.sortWithinPartitions(
+        "zoom", "x", "y", "feature_id"
+    ).mapInPandas(_encode, schema=out_schema)
 
 
 def to_geojson(features: DataFrame) -> DataFrame:
