@@ -1,0 +1,7 @@
+from .pipeline import (
+    file_points_stream,
+    stream_encode_sink,
+    stream_tile_counts,
+)
+
+__all__ = ["file_points_stream", "stream_tile_counts", "stream_encode_sink"]

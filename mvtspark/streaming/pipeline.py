@@ -1,0 +1,123 @@
+"""Structured Streaming layer (SURVEY §2.10).
+
+The batch kernels (tile assignment D19, PIP join J4, per-tile agg A6/A7,
+MVT encode S9) are stateless column transforms, so they lift directly
+onto streaming DataFrames. This module provides the thin streaming
+wrappers the north rule's ingestion side needs:
+
+- :func:`file_points_stream` — ``readStream`` source over a parquet
+  directory of geotagged points (the micro-batch stand-in for a Kafka /
+  Iceberg-CDC feed; identical schema to ``sources.images.synth_points``
+  plus ``ingest_ts``).
+- :func:`stream_tile_counts` — exactly-once per-tile counts:
+  ``withWatermark`` + ``dropDuplicates`` on image_id, tumbling
+  event-time window, groupBy (window, zoom, x, y). State is bounded by
+  the watermark; the aggregation is the same partial/final hash-agg
+  Spark plans for batch (map-side partials per micro-batch).
+- :func:`stream_encode_sink` — ``foreachBatch`` writer that runs the
+  batch MVT encoder on each micro-batch and appends per-partition
+  lineage rows to the checkpoint table (S8), so a killed stream resumes
+  at (micro-batch, partition) granularity on top of Spark's own
+  offset-log checkpointing.
+
+Scale notes: no driver-side state; watermark bounds the agg state store;
+the encode groupBy reuses the (zoom, x, y) partitioning; checkpoint
+writes are append-only parquet (Iceberg ``writeTo(...).append()`` in
+production — same one-line switch as sources.checkpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.spatial import assign_tiles
+
+POINTS_STREAM_SCHEMA = (
+    "image_id string, caption string, lat double, lng double, ingest_ts timestamp"
+)
+
+
+def file_points_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Streaming source over a directory of point parquet files.
+
+    ``maxFilesPerTrigger`` bounds micro-batch size (backpressure); the
+    schema is pinned (streaming file sources require it) and matches
+    ``synth_points`` + an event-time column.
+    """
+    return (
+        spark.readStream.schema(POINTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_tile_counts(
+    points: DataFrame,
+    zoom: int,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Windowed exactly-once per-tile counts over a stream of points.
+
+    dropDuplicates after the watermark gives exactly-once per image_id
+    within the watermark horizon (late duplicates beyond it are dropped
+    wholesale by the watermark itself).
+    """
+    deduped = points.withWatermark("ingest_ts", watermark).dropDuplicates(
+        ["image_id", "ingest_ts"]
+    )
+    assigned = assign_tiles(deduped, zoom=zoom)
+    return (
+        assigned.groupBy(F.window("ingest_ts", window), "zoom", "x", "y")
+        .agg(F.count(F.lit(1)).alias("image_count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "zoom", "x", "y", "image_count",
+        )
+    )
+
+
+def stream_encode_sink(
+    points: DataFrame,
+    zoom: int,
+    tiles_path: str,
+    checkpoint_path: str,
+    job_id: str = "stream_encode",
+):
+    """foreachBatch sink: per micro-batch, run the batch tile pipeline
+    (assign → per-tile MVT encode) and append tiles + lineage.
+
+    Returns the unstarted ``DataStreamWriter`` — caller picks trigger +
+    stream checkpoint location and calls ``.start()``.
+    """
+    from ..sources.checkpoint import write_stage_checkpoint
+    from ..sources.tiles import encode_tiles
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        assigned = assign_tiles(df, zoom=zoom)
+        feats = assigned.select(
+            "zoom", "x", "y", F.lit(4096).alias("extent"),
+            F.xxhash64("image_id").bitwiseAND(F.lit((1 << 62) - 1)).alias(
+                "feature_id"
+            ),
+            F.lit(1).alias("geom_type"),
+            F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("part_offsets"),
+            F.array(F.col("px")).alias("xs"),
+            F.array(F.col("py")).alias("ys"),
+            F.to_json(F.struct("caption")).alias("props"),
+        )
+        tiles = encode_tiles(feats, layer_name="images").cache()
+        try:
+            tiles.write.mode("append").parquet(tiles_path)
+            write_stage_checkpoint(
+                tiles, checkpoint_path, job_id=job_id,
+                stage=f"epoch={epoch_id}", lineage=f"stream epoch {epoch_id}",
+            )
+        finally:
+            tiles.unpersist()
+
+    return points.writeStream.foreachBatch(_batch).outputMode("update")
