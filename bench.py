@@ -116,9 +116,12 @@ def mvt_codec_job(spark, points_path: str, cap: int = 300_000):
 
 
 def timed(fn, runs: int = RUNS):
+    import gc
+
     fn()  # warm-up, discarded (ref Program.cs:86-91)
     times = []
     for _ in range(runs):
+        gc.collect()  # flush py4j detach backlog outside the timed window
         t0 = time.time()
         out = fn()
         times.append(time.time() - t0)

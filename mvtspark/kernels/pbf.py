@@ -43,9 +43,12 @@ class PbfError(ValueError):
 # ---------------------------------------------------------------------------
 
 def zigzag_decode(v: np.ndarray) -> np.ndarray:
-    """(v >> 1) ^ -(v & 1) on int64. ref: PbfReader.cs:148-157."""
+    """(v >>> 1) ^ -(v & 1) — the shift is LOGICAL (C# casts through
+    ulong), so go through a uint64 view; an arithmetic int64 shift
+    diverges for magnitudes >= 2^62. ref: PbfReader.cs:148-157."""
     v = np.asarray(v, dtype=np.int64)
-    return (v >> 1) ^ -(v & 1)
+    u = (v.view(np.uint64) >> np.uint64(1)).view(np.int64)
+    return u ^ -(v & 1)
 
 
 def zigzag_encode(v: np.ndarray) -> np.ndarray:

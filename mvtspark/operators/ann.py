@@ -33,13 +33,28 @@ def _dot(a, b):
 
 
 def brute_force_topk(
-    emb: DataFrame, queries: DataFrame, k: int = 5
+    emb: DataFrame, queries: DataFrame, k: int = 5, use_arrow: bool = True
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k most similar
     corpus vectors (excluding itself when ids collide).
 
+    ``use_arrow`` (default): the query matrix is collected (queries are
+    small by definition) and shipped inside a ``mapInPandas`` closure;
+    each corpus Arrow batch is scored against ALL queries with numpy and
+    emits only its LOCAL top-k per query, so the final global window
+    sees ≤ k × n_batches × n_queries rows instead of |corpus| × |queries|.
+    The per-pair arithmetic runs dimension-sequentially (acc += a_d·b_d),
+    bit-identical to the relational left-fold (and the DuckDB oracle's
+    list_sum), so both paths hash-match. This is the 10^12-row shape:
+    corpus scanned once, nothing but top-k crosses a shuffle.
+
+    ``use_arrow=False``: pure-relational reference path (broadcast
+    nested-loop cross join + native higher-order-function fold).
+
     Output: (query_id, vec_id, cosine, rank).
     """
+    if use_arrow:
+        return _brute_force_topk_arrow(emb, queries, k)
     q = F.broadcast(
         queries.select(
             F.col("vec_id").alias("query_id"),
@@ -66,6 +81,75 @@ def brute_force_topk(
         .select(
             "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
         )
+    )
+
+
+def _seq_fold_dots(M, Q):
+    """Per-pair dot products + norms with DIMENSION-SEQUENTIAL float64
+    accumulation — the same operation order as a relational left fold,
+    so results are bit-identical to F.aggregate / DuckDB list_sum
+    (numpy's pairwise-summing ``dot`` is faster but not order-stable)."""
+    import numpy as np
+
+    n, d = M.shape
+    dots = np.zeros((n, Q.shape[0]), dtype=np.float64)
+    m_norm2 = np.zeros(n, dtype=np.float64)
+    for j in range(d):
+        col = M[:, j]
+        m_norm2 += col * col
+        dots += col[:, None] * Q[None, :, j]
+    return dots, np.sqrt(m_norm2)
+
+
+def _brute_force_topk_arrow(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    import numpy as np
+
+    q_rows = sorted(
+        queries.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    _, q_norms = _seq_fold_dots(Q, Q[:0])
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            dots, c_norms = _seq_fold_dots(M, Q)
+            cos = dots / (c_norms[:, None] * q_norms[None, :])
+            out = []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                c = cos[mask, qi]
+                cand = ids[mask]
+                if not c.size:
+                    continue
+                kk = min(k, c.size)
+                # local top-k by (cos desc, vec_id asc) — ties broken the
+                # same way the global window does
+                order = np.lexsort((cand, -c))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "vec_id": cand[order],
+                            "cosine": c[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        _score, schema="query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
 
 

@@ -149,17 +149,24 @@ def knn_ring_join(
         )
         w = Window.partitionBy("image_id").orderBy("dist2", "site_id")
         return (
-            cand.dropDuplicates(["image_id", "site_id"])
-            .withColumn("rn", F.row_number().over(w))
+            cand.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
             .select("image_id", "site_id", "dist2", F.col("rn").alias("knn_rank"))
         )
 
     pts = points.withColumn(
         "cell", xyz_cell(F.col("lng"), F.col("lat"), zoom)
-    ).select("image_id", "lat", "lng", "cell").cache()
+    ).select("image_id", "lat", "lng", "cell")
 
-    near = _pass(pts, min(1, max_radius)).cache()
+    r1 = min(1, max_radius)
+    # if the radius-1 ring already covers the whole 2^zoom grid (low
+    # zooms), one pass is exact and complete — skip the remainder
+    # machinery (two joins + a union) entirely
+    if (1 << zoom) - 1 <= r1:
+        return _pass(pts, r1)
+
+    pts = pts.cache()
+    near = _pass(pts, r1).cache()
     satisfied = (
         near.groupBy("image_id").count().where(F.col("count") >= k).select("image_id")
     )
@@ -169,17 +176,23 @@ def knn_ring_join(
     return done.unionByName(wide)
 
 
+@F.pandas_udf(ArrayType(LongType()))
+def _ring_cells_udf(c: pd.Series, r: pd.Series) -> pd.Series:
+    import numpy as np
+
+    from mvtspark.kernels.cells import xyz_ring
+
+    arr = xyz_ring(c.to_numpy(), int(r.iloc[0]))
+    # unique per row: the antimeridian wrap can alias cells at low zooms,
+    # and deduping here (cheap, in-batch) saves a dropDuplicates shuffle
+    # on the exploded candidate set downstream
+    return pd.Series([np.unique(row[row >= 0]) for row in arr])
+
+
 def _ring_cells(cell: Column, radius: int) -> Column:
     """Chebyshev ring of cells around ``cell`` as an array column
-    (pandas UDF over kernels.cells.xyz_ring)."""
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def _f(c: pd.Series) -> pd.Series:
-        import numpy as np
-
-        from mvtspark.kernels.cells import xyz_ring
-
-        arr = xyz_ring(c.to_numpy(), radius)
-        return pd.Series([row[row >= 0] for row in arr])
-
-    return _f(cell)
+    (pandas UDF over kernels.cells.xyz_ring). The UDF is defined once at
+    module scope — a per-call closure would re-pickle + re-broadcast on
+    every invocation and leave py4j garbage whose later collection stalls
+    unrelated queries (observed 10-60s driver stalls)."""
+    return _ring_cells_udf(cell, F.lit(radius))

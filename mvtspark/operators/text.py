@@ -46,8 +46,15 @@ def quality_cols(text: Column) -> dict[str, Column]:
 
 
 def _stop_hits(text: Column) -> Column:
-    toks = tokens(F.lower(text))
-    return F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    # count whitespace-delimited stopword tokens with ONE native regex
+    # scan instead of a higher-order filter lambda: lambda-HOFs evaluate
+    # interpreted per element (~10 us/element here), which made this the
+    # slowest expression in the engine; regexp_count is a single JVM
+    # regex pass per row. Token semantics match split-on-\s+ exactly:
+    # leading anchor (^|\s) consumed, trailing boundary as lookahead so
+    # consecutive stopwords all count.
+    pat = r"(?:^|\s)(?:" + "|".join(_STOPWORDS) + r")(?=\s|$)"
+    return F.regexp_count(F.lower(text), F.lit(pat))
 
 
 def quality_score(text: Column) -> Column:
@@ -75,11 +82,41 @@ def fingerprint(text: Column) -> Column:
 
 
 def analyze(docs: DataFrame) -> DataFrame:
+    """All text features in two narrow projections: the expensive string
+    scans (split, stopword filter, regex strip) run ONCE each in stage 1;
+    stage 2 is scalar arithmetic over those intermediates. Same values as
+    composing the standalone helpers (the oracle contract pins them), but
+    the codegen'd plan does one pass over each string instead of ~8 —
+    at 10^12 rows the string scans dominate, so this is the difference
+    between one and eight full-corpus scans."""
     t = F.col("text")
-    cols = {}
-    cols.update(token_count_cols(t))
-    cols.update(quality_cols(t))
-    cols["quality"] = quality_score(t)
-    cols["lang_pred"] = lang_id(t)
-    cols["fp"] = fingerprint(t)
-    return docs.withColumns(cols)
+    base = docs.withColumns(
+        {
+            "_n_chars": F.length(t),
+            "_n_words": F.size(tokens(t)),
+            "_punct": F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", "")),
+            "_stop_hits": _stop_hits(t),
+            "fp": fingerprint(t),
+        }
+    )
+    nc, nw = F.col("_n_chars"), F.col("_n_words")
+    pu, sh = F.col("_punct"), F.col("_stop_hits")
+    punct_ratio = F.round(pu / nc, 6)
+    stop_ratio = F.round(sh / nw, 6)
+    return base.withColumns(
+        {
+            "n_tokens_ws": nw,
+            "n_tokens_bpe": F.greatest(nw, F.ceil(nc / F.lit(4)).cast("int")).cast("int"),
+            "n_words": nw,
+            "punct_ratio": punct_ratio,
+            "stopword_ratio": stop_ratio,
+            "avg_word_len": F.round((nc - nw + 1) / nw, 6),
+            "quality": F.round(
+                F.least(F.lit(1.0), nw / 100.0) * 0.4
+                + F.greatest(F.lit(0.0), F.lit(0.3) - punct_ratio) / 0.3 * 0.3
+                + F.least(F.lit(1.0), stop_ratio * 4) * 0.3,
+                6,
+            ),
+            "lang_pred": F.when(sh / nw >= 0.05, F.lit("en")).otherwise(F.lit("und")),
+        }
+    ).drop("_n_chars", "_n_words", "_punct", "_stop_hits")

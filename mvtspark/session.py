@@ -34,6 +34,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # fall back from whole-stage codegen when the generated method
+        # would exceed HotSpot's DontCompileHugeMethods limit (8000
+        # bytecodes): beyond it the method never JITs and runs in the
+        # bytecode interpreter — observed as 10-60x slowdowns on
+        # expression-heavy stages (many regex/string features per row)
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("MVTSPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

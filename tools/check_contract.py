@@ -63,6 +63,12 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # flush dead py4j object references from the previous query BEFORE
+        # timing: their lazy collection mid-query issues one detach RPC per
+        # object and can stall the driver for tens of seconds
+        import gc
+
+        gc.collect()
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
