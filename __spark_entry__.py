@@ -411,8 +411,10 @@ def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 def minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle → 64-perm minhash →
-    16-band bucket equi-join). Rows-only: the signature hashes aren't
-    SQL-expressible; exact-Jaccard parity is covered by ngram_jaccard."""
+    16-band bucket equi-join), ORACLED end-to-end: the shingle hash is
+    md5-low-64 (DuckDB md5_number_upper) and band keys are the raw
+    signature slices, so the oracle recomputes identical signatures,
+    bands, candidate pairs and Jaccard estimates in pure SQL."""
     from mvtspark.operators.dedup import minhash_lsh_dedup
 
     d = _t(spark, sf, "documents")
@@ -421,7 +423,8 @@ def minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 3 (4×16-bit band
-    blocking; pigeonhole-exact candidate recall). Rows-only."""
+    blocking; pigeonhole-exact candidate recall), ORACLED: md5-based
+    token hash lets DuckDB rebuild the 64-bit signatures bit-for-bit."""
     from mvtspark.operators.dedup import simhash_dedup
 
     d = _t(spark, sf, "documents")
@@ -448,12 +451,226 @@ def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-bucketed approximate top-k (the 10^12-scale path: probe nprobe
-    of C centroid buckets instead of the full corpus). Rows-only (approx)."""
+    of C centroid buckets instead of the full corpus), ORACLED: the
+    quantizer is relational (argmax over fold-order-stable centroid
+    sims), so DuckDB reproduces buckets, probes, and scores exactly."""
     from mvtspark.operators.ann import ivf_topk
 
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     return ivf_topk(e, q, k=5, n_centroids=16, nprobe=4)
+
+
+# ------------------------------------------- geometry / sinks / validation
+
+def geojson_points(spark: SparkSession, sf: str) -> DataFrame:
+    """S5 GeoJSON Feature serialization (ref ExtensionMethods/
+    VectorTile.cs:33-207 — same `{"type":"Feature",...}` template),
+    ORACLED: coordinates emitted as integer microdegrees so the string
+    is bit-identical across engines (float formatting differs between
+    Java's %s and C printf; the reference's invariant-culture float path
+    is covered by kernel unit tests instead)."""
+    pts = _event_points(spark, sf)
+    e = _t(spark, sf, "events").select("event_id", "event_type")
+    j = pts.join(e, "event_id")
+    geojson = F.format_string(
+        '{"type":"Feature","id":%d,"geometry":{"type":"Point",'
+        '"coordinates":[%d,%d]},"properties":{"event_type":"%s"}}',
+        F.col("event_id"),
+        F.round(F.col("lng") * 1e6).cast("long"),
+        F.round(F.col("lat") * 1e6).cast("long"),
+        F.col("event_type"),
+    )
+    return j.select("event_id", geojson.alias("geojson"))
+
+
+def polygon_area_orientation(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/D15 signed polygon area + winding orientation (shoelace fold;
+    ref VectorTileFeature.cs:130-141, clipper.cs:4387-4400). Deterministic
+    4-vertex rings derived from order keys; area2 = 2x signed area kept
+    integer-exact (no division), orientation = area2 >= 0 (clipper.cs:
+    3560-3564 `Orientation := Area >= 0`). Native higher-order folds."""
+    o = _t(spark, sf, "orders").select("o_orderkey")
+    idx = F.sequence(F.lit(0), F.lit(3))
+    xs = F.transform(idx, lambda i: (F.col("o_orderkey") * (i + 1) * 2654435761) % 8192)
+    ys = F.transform(idx, lambda i: ((F.col("o_orderkey") + i) * 40503) % 8192)
+    rot = lambda a: F.concat(F.slice(a, 2, 3), F.slice(a, 1, 1))
+    ring = o.select(
+        "o_orderkey", xs.alias("xs"), ys.alias("ys"),
+        rot(xs).alias("xr"), rot(ys).alias("yr"),
+    )
+    terms = F.zip_with(
+        F.zip_with("xs", "yr", lambda x, yn: x * yn),
+        F.zip_with("xr", "ys", lambda xn, y: xn * y),
+        lambda a, b: a - b,
+    )
+    area2 = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return ring.select(
+        "o_orderkey",
+        area2.alias("area2"),
+        (area2 >= 0).alias("ccw"),
+    )
+
+
+def range_join_px(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 non-equi range join: event in-tile px against 16 static px
+    bucket ranges (BETWEEN join). The dim is broadcast (16 rows), so the
+    physical plan is BroadcastNestedLoopJoin over a tiny side — the
+    shape used for tile-pyramid range queries. At scale, prefer the
+    equi rewrite (bucket = px div 256) when ranges are uniform; this
+    query keeps the general non-equi form."""
+    from mvtspark.operators.spatial import assign_tiles
+
+    pts = assign_tiles(_event_points(spark, sf), zoom=4)
+    b = spark.range(16).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 256).alias("lo"),
+        (F.col("id") * 256 + 255).alias("hi"),
+    )
+    j = pts.join(
+        F.broadcast(b),
+        (F.col("px") >= F.col("lo")) & (F.col("px") <= F.col("hi")),
+        "inner",
+    )
+    return j.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+
+
+def asof_join_clicks(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 as-of join: for each 'view' event, the user's most recent
+    click at-or-before it. Spark has no ASOF JOIN; the scalable pattern
+    is union-the-streams + one window pass carrying the last click
+    forward (one shuffle on user_id, no range self-join blowup). Oracle:
+    DuckDB's native ASOF JOIN."""
+    e = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type",
+        # ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is identity
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    views = e.where(F.col("event_type") == "view")
+    clicks = e.where(F.col("event_type") == "click")
+    allev = views.select(
+        "user_id", "us", "event_id", F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("long").alias("click_us"),
+    ).unionByName(
+        clicks.select(
+            "user_id", "us", F.lit(None).cast("long").alias("event_id"),
+            F.col("event_id").alias("click_id"), F.col("us").alias("click_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = allev.withColumns(
+        {
+            "last_click_id": F.last("click_id", ignorenulls=True).over(w),
+            "last_click_us": F.last("click_us", ignorenulls=True).over(w),
+        }
+    )
+    return out.where(
+        F.col("event_id").isNotNull() & F.col("last_click_id").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("last_click_id").alias("click_id"),
+        (F.col("us") - F.col("last_click_us")).alias("gap_us"),
+    )
+
+
+def zigzag_varint_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 zigzag + D1 varint width in PURE SQL (no UDF): proves the wire
+    math (PbfReader.cs:148-157 decodeZigZag, :56-75 varint <=10 bytes) is
+    expressible relationally. zz = (n << 1) ^ (n >> 63) [encode],
+    back = (zz >>> 1) ^ -(zz & 1) [decode, logical shift], varint width
+    by exact power-of-128 thresholds."""
+    e = _t(spark, sf, "events").select("event_id", "user_id")
+    n = (F.col("event_id") * F.lit(2654435761)) - F.lit(4611686018427387904)
+    zz = F.shiftleft(n, 1).bitwiseXOR(F.shiftright(n, 63))
+    back = F.shiftrightunsigned(zz, 1).bitwiseXOR(-(zz.bitwiseAND(F.lit(1))))
+    # zz is a bit-pattern (may be "negative" as int64) — compare unsigned
+    # via DECIMAL(20,0); bounds are exact 128^k literals
+    uzz = F.when(
+        zz < 0,
+        zz.cast("decimal(20,0)") + F.expr(f"CAST({2**64} AS DECIMAL(21,0))"),
+    ).otherwise(zz.cast("decimal(20,0)"))
+    width = F.lit(10)
+    for w_ in range(9, 0, -1):
+        width = F.when(
+            uzz < F.expr(f"CAST({1 << (7 * w_)} AS DECIMAL(20,0))"), w_
+        ).otherwise(width)
+    return e.select(
+        "event_id",
+        n.alias("n"),
+        zz.alias("zz"),
+        back.alias("back"),
+        width.cast("int").alias("varint_bytes"),
+        (back == n).alias("roundtrip_ok"),
+    )
+
+
+def validate_tiles_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 validation predicate suite over a deterministically CORRUPTED
+    tile corpus (the reference's invalid-fixture strategy,
+    TestInvalidMvtInBulk.cs:46-65, built synthetically): per tile,
+    class = (x*4+y)%5 selects intact / truncated / gzip-magic
+    (VectorTileReader.cs:39-42) / zeroed-first-byte (tag 0 rejected,
+    PbfReader.cs:216-222) / appended-garbage-field. The engine decodes
+    leniently (row-level decode_error instead of failing the job —
+    SURVEY §1.3) and every corruption class must be detected while
+    intact tiles decode all their features."""
+    from mvtspark.sources.tiles import decode_tiles, encode_tiles
+
+    o = _t(spark, sf, "orders")
+    feats = o.select(
+        F.lit(2).alias("zoom"),
+        (F.col("o_orderkey") % 4).cast("int").alias("x"),
+        ((F.col("o_orderkey") / 4).cast("long") % 4).cast("int").alias("y"),
+        F.lit(4096).alias("extent"),
+        F.col("o_orderkey").alias("feature_id"),
+        F.lit(1).alias("geom_type"),
+        F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("part_offsets"),
+        F.array(F.col("o_orderkey") * 7919 % 4096).alias("xs"),
+        F.array(F.col("o_orderkey") * 104729 % 4096).alias("ys"),
+        F.to_json(F.struct(F.col("o_orderstatus").alias("status"))).alias("props"),
+    )
+    tiles = encode_tiles(feats, layer_name="orders")
+    cls = F.pmod(F.col("x") * 4 + F.col("y"), F.lit(5))
+    mvt = F.col("mvt")
+    corrupted = (
+        F.when(cls == 1, F.substring(mvt, 1, 8))  # truncated mid-message
+        .when(cls == 2, F.concat(F.lit(b"\x1f\x8b"), mvt))  # gzip magic
+        .when(cls == 3, F.concat(F.lit(b"\x00"), F.substring(mvt, 2, 1 << 30)))
+        .when(cls == 4, F.concat(mvt, F.lit(b"\x07")))  # tag0+wiretype7
+        .otherwise(mvt)
+    )
+    corpus = tiles.select("zoom", "x", "y", cls.alias("cls"), corrupted.alias("mvt"))
+    dec = decode_tiles(corpus.select("zoom", "x", "y", "mvt"), validate=True)
+    agg = dec.groupBy("zoom", "x", "y").agg(
+        F.sum(F.when(F.col("decode_error").isNull(), 1).otherwise(0)).alias("n_features"),
+        F.max(F.col("decode_error").isNotNull().cast("int")).alias("err"),
+    )
+    return agg.join(
+        corpus.select("zoom", "x", "y", "cls"), ["zoom", "x", "y"]
+    ).select(
+        "zoom", "x", "y", "cls",
+        F.col("n_features").cast("long").alias("n_features"),
+        (F.col("err") == 1).alias("error_detected"),
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """A10 approximate distinct (HLL++). Rows-only: approximate results
+    are engine-specific by design; the exact twin is
+    distinct_users_by_type."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
 
 
 # ---------------------------------------------------------------- registry
@@ -487,6 +704,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": embedding_cosine_pairs,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
+        "geojson_points": geojson_points,
+        "polygon_area_orientation": polygon_area_orientation,
+        "range_join_px": range_join_px,
+        "asof_join_clicks": asof_join_clicks,
+        "zigzag_varint_sql": zigzag_varint_sql,
+        "validate_tiles_corpus": validate_tiles_corpus,
+        "approx_distinct_users": approx_distinct_users,
     }
 
 
@@ -515,8 +739,20 @@ def _merc_xy(zoom: int) -> tuple[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import numpy as _np
+
     n = (1 << 4) - 1
     gx4, gy4 = _merc_xy(4)
+    # the minhash permutation constants — SAME generator invocation as the
+    # Spark UDF (operators/dedup.py::_shingle_minhash_udf), inlined as SQL
+    # literals so DuckDB recomputes identical signatures
+    _A = _np.random.default_rng(42).integers(1, 2**61, size=64, dtype=_np.int64)
+    _B = _np.random.default_rng(43).integers(1, 2**61, size=64, dtype=_np.int64)
+    perms_values = ", ".join(
+        f"({k}, {int(a)}, {int(b)})" for k, (a, b) in enumerate(zip(_A, _B))
+    )
+    u64 = "CAST('18446744073709551616' AS HUGEINT)"
+    i64max1 = "CAST('9223372036854775808' AS HUGEINT)"
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -759,5 +995,206 @@ def oracle_sql() -> dict[str, str]:
                 ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 5
+        """,
+        "ann_topk_ivf": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * x))) AS nrm
+              FROM embeddings),
+            cent AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS cent_norm
+                     FROM e WHERE vec_id < 16),
+            asim AS (
+              SELECT e.vec_id, e.embedding, c.cent_id,
+                list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * c.c_emb[i]))
+                  / c.cent_norm AS sim
+              FROM e, cent c),
+            bucket AS (
+              SELECT vec_id, embedding, cent_id AS ivf_bucket FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cent_id ASC) AS rk FROM asim)
+              WHERE rk = 1),
+            qsim AS (
+              SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+                     e.nrm AS q_nrm, c.cent_id,
+                list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * c.c_emb[i]))
+                  / c.cent_norm AS sim
+              FROM e, cent c WHERE e.vec_id < 5),
+            probes AS (
+              SELECT query_id, q_emb, q_nrm, cent_id AS ivf_bucket FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, cent_id ASC) AS rk FROM qsim)
+              WHERE rk <= 4),
+            scored AS (
+              SELECT p.query_id, b.vec_id,
+                list_sum(list_transform(range(1, len(p.q_emb) + 1),
+                    i -> CAST(p.q_emb[i] AS DOUBLE) * b.embedding[i]))
+                  / (p.q_nrm * sqrt(list_sum(list_transform(b.embedding,
+                       x -> CAST(x AS DOUBLE) * x)))) AS cos
+              FROM bucket b JOIN probes p USING (ivf_bucket)
+              WHERE b.vec_id != p.query_id)
+            SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank FROM (
+              SELECT query_id, vec_id, cos,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "minhash_lsh": f"""
+            WITH perms(k, a, b) AS (VALUES {perms_values}),
+            toks AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+            sh AS (SELECT doc_id,
+                CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t)-2+1)]) END AS shingles
+              FROM toks),
+            hs AS (SELECT doc_id,
+                list_transform(shingles, s -> md5_number_upper(s)) AS h
+              FROM sh),
+            lanes AS (SELECT doc_id, k,
+                list_min(list_transform(h, x ->
+                  (CAST(a AS HUGEINT) * CAST(x AS HUGEINT)
+                   + CAST(b AS HUGEINT)) % {u64})) AS lane
+              FROM hs, perms),
+            sigs AS (SELECT doc_id,
+                list(CAST(CASE WHEN lane >= {i64max1} THEN lane - {u64}
+                          ELSE lane END AS BIGINT) ORDER BY k) AS sig
+              FROM lanes GROUP BY doc_id),
+            banded AS (SELECT doc_id, sig, band,
+                sig[band*4+1:band*4+4] AS bk
+              FROM sigs CROSS JOIN (SELECT unnest(range(0,16)) AS band) r),
+            pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                l.sig AS sa, r.sig AS sb
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id),
+            est AS (SELECT doc_a, doc_b,
+                list_sum(list_transform(range(1,65),
+                  i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 64.0 AS ej
+              FROM pairs)
+            SELECT doc_a, doc_b, ROUND(ej, 6) AS est_jaccard
+            FROM est WHERE ej >= 0.7
+        """,
+        "simhash_pairs": f"""
+            WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+              FROM documents),
+            th AS (SELECT doc_id, md5_number_upper(w) AS h FROM toks),
+            bits AS (SELECT doc_id, j,
+                SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th CROSS JOIN (SELECT unnest(range(0,64)) AS j) jj
+              GROUP BY doc_id, j),
+            usims AS (SELECT doc_id,
+                SUM(CASE WHEN v > 0 THEN
+                      CASE WHEN j = 63 THEN {i64max1}
+                           ELSE CAST(CAST(1 AS BIGINT) << j AS HUGEINT) END
+                    ELSE 0 END) AS usim
+              FROM bits GROUP BY doc_id),
+            sims AS (SELECT doc_id,
+                CAST(CASE WHEN usim >= {i64max1} THEN usim - {u64}
+                     ELSE usim END AS BIGINT) AS sim, usim
+              FROM usims),
+            banded AS (SELECT doc_id, sim, d.band,
+                CAST((usim // d.dv) % 65536 AS BIGINT) AS band_val
+              FROM sims CROSS JOIN (VALUES (0, CAST(1 AS HUGEINT)),
+                (1, CAST(65536 AS HUGEINT)),
+                (2, CAST(4294967296 AS HUGEINT)),
+                (3, CAST(281474976710656 AS HUGEINT))) d(band, dv)),
+            pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                l.sim AS sa, r.sim AS sb
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.band_val = r.band_val
+                   AND l.doc_id < r.doc_id)
+            SELECT doc_a, doc_b,
+              CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+            FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "geojson_points": f"""
+            WITH pts AS ({_EVENT_PTS})
+            SELECT e.event_id,
+              printf('{{"type":"Feature","id":%d,"geometry":{{"type":"Point","coordinates":[%d,%d]}},"properties":{{"event_type":"%s"}}}}',
+                e.event_id,
+                CAST(ROUND(lng * 1000000.0) AS BIGINT),
+                CAST(ROUND(lat * 1000000.0) AS BIGINT),
+                e.event_type) AS geojson
+            FROM pts JOIN events e USING (event_id)
+        """,
+        "polygon_area_orientation": """
+            WITH r AS (SELECT o_orderkey,
+                [(o_orderkey * (i+1) * 2654435761) % 8192 for i in range(0,4)] AS xs,
+                [((o_orderkey + i) * 40503) % 8192 for i in range(0,4)] AS ys
+              FROM orders),
+            rr AS (SELECT o_orderkey, xs, ys,
+                xs[2:4] || xs[1:1] AS xr, ys[2:4] || ys[1:1] AS yr FROM r),
+            ar AS (SELECT o_orderkey,
+                CAST(list_sum([xs[i]*yr[i] - xr[i]*ys[i]
+                               for i in range(1,5)]) AS BIGINT) AS area2
+              FROM rr)
+            SELECT o_orderkey, area2, area2 >= 0 AS ccw FROM ar
+        """,
+        "range_join_px": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            g AS (SELECT event_id, {gx4} AS gx FROM pts),
+            pxs AS (SELECT event_id,
+                CAST(ROUND(gx - GREATEST(0, LEAST(15, FLOOR(gx / 4096)))
+                           * 4096.0) AS BIGINT) AS px FROM g),
+            b AS (SELECT unnest(range(0,16)) AS bucket_id),
+            j AS (SELECT bucket_id, event_id FROM pxs JOIN b
+                  ON px >= bucket_id*256 AND px <= bucket_id*256 + 255)
+            SELECT bucket_id, COUNT(*) AS n_events,
+              SUM(event_id) AS sum_event_id
+            FROM j GROUP BY 1
+        """,
+        "asof_join_clicks": """
+            WITH e AS (SELECT event_id, user_id, event_type,
+                epoch_us(ts) AS us FROM events),
+            v AS (SELECT * FROM e WHERE event_type = 'view'),
+            c AS (SELECT * FROM e WHERE event_type = 'click')
+            SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+              v.us - c.us AS gap_us
+            FROM v ASOF JOIN c
+              ON v.user_id = c.user_id AND v.us >= c.us
+        """,
+        "zigzag_varint_sql": f"""
+            WITH t AS (SELECT event_id, user_id,
+                (event_id * 2654435761) - 4611686018427387904 AS n
+              FROM events),
+            z AS (SELECT event_id, n,
+                CASE WHEN n >= 0 THEN 2 * CAST(n AS HUGEINT)
+                     ELSE -2 * CAST(n AS HUGEINT) - 1 END AS uzz
+              FROM t)
+            SELECT event_id, n,
+              CAST(CASE WHEN uzz >= {i64max1} THEN uzz - {u64}
+                   ELSE uzz END AS BIGINT) AS zz,
+              CAST(CASE WHEN uzz % 2 = 0 THEN uzz // 2
+                   ELSE -((uzz + 1) // 2) END AS BIGINT) AS back,
+              CAST(CASE
+                WHEN uzz < 128 THEN 1
+                WHEN uzz < 16384 THEN 2
+                WHEN uzz < 2097152 THEN 3
+                WHEN uzz < 268435456 THEN 4
+                WHEN uzz < 34359738368 THEN 5
+                WHEN uzz < 4398046511104 THEN 6
+                WHEN uzz < 562949953421312 THEN 7
+                WHEN uzz < 72057594037927936 THEN 8
+                WHEN uzz < {i64max1} THEN 9
+                ELSE 10 END AS INTEGER) AS varint_bytes,
+              (CAST(CASE WHEN uzz % 2 = 0 THEN uzz // 2
+                    ELSE -((uzz + 1) // 2) END AS BIGINT) = n) AS roundtrip_ok
+            FROM z
+        """,
+        "validate_tiles_corpus": """
+            WITH t AS (SELECT CAST(o_orderkey % 4 AS INT) AS x,
+                CAST(CAST(FLOOR(o_orderkey / 4) AS BIGINT) % 4 AS INT) AS y,
+                COUNT(*) AS n
+              FROM orders GROUP BY 1, 2)
+            SELECT 2 AS zoom, x, y,
+              CAST((x*4 + y) % 5 AS INT) AS cls,
+              CAST(CASE WHEN (x*4 + y) % 5 = 0 THEN n ELSE 0 END AS BIGINT)
+                AS n_features,
+              (x*4 + y) % 5 != 0 AS error_detected
+            FROM t
         """,
     }

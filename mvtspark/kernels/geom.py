@@ -323,6 +323,89 @@ def point_in_polygon(
     return result
 
 
+def point_in_polygon_multi(
+    px: np.ndarray,
+    py: np.ndarray,
+    ring_idx: np.ndarray,
+    ring_offsets: np.ndarray,
+    ring_x_flat: np.ndarray,
+    ring_y_flat: np.ndarray,
+) -> np.ndarray:
+    """PIP where EACH point row tests against its OWN ring (J4 phase 2 at
+    batch granularity): ``ring_idx[i]`` selects ring ``i``'s vertex span
+    ``ring_offsets[r]:ring_offsets[r+1]`` in the flat arrays. Same
+    {0,1,-1} Hormann–Agathos semantics as :func:`point_in_polygon`
+    (src/Geometry/clipper.cs:4025-4077), integer-exact.
+
+    Fast path: when every referenced ring has the same vertex count E
+    (the tile-rectangle case), gathers per-row edge matrices of shape
+    (N, E) and evaluates the whole batch in ONE vectorized pass — no
+    per-group Python loop at all. Ragged ring sizes fall back to a
+    per-distinct-ring loop (one kernel call per ring, many points each).
+
+    Closing vertices (first == last) are handled by the edge roll: the
+    duplicate edge has zero length and contributes nothing to winding,
+    and its boundary test is subsumed by the real edges.
+    """
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    ring_idx = np.asarray(ring_idx, dtype=np.int64)
+    ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
+    rxf = np.asarray(ring_x_flat, dtype=np.int64)
+    ryf = np.asarray(ring_y_flat, dtype=np.int64)
+    n = px.size
+    out = np.zeros(n, dtype=np.int8)
+    if n == 0:
+        return out
+
+    sizes = ring_offsets[ring_idx + 1] - ring_offsets[ring_idx]
+    esz = sizes[0]
+    if not (sizes == esz).all() or esz < 3:
+        # ragged fallback: one vectorized call per distinct ring
+        for r in np.unique(ring_idx):
+            sel = ring_idx == r
+            s, e = int(ring_offsets[r]), int(ring_offsets[r + 1])
+            out[sel] = point_in_polygon(px[sel], py[sel], rxf[s:e], ryf[s:e])
+        return out
+
+    # uniform-size fast path: per-row edge gather, whole batch at once
+    base = ring_offsets[ring_idx]  # (N,)
+    cols = np.arange(esz, dtype=np.int64)  # (E,)
+    vi = base[:, None] + cols[None, :]  # (N, E) vertex indices
+    x1 = rxf[vi]
+    y1 = ryf[vi]
+    roll = np.concatenate([cols[1:], cols[:1]])
+    vj = base[:, None] + roll[None, :]
+    x2 = rxf[vj]
+    y2 = ryf[vj]
+
+    X = px[:, None]
+    Y = py[:, None]
+    CHUNK = 65536
+    boundary = np.zeros(n, dtype=bool)
+    winding = np.zeros(n, dtype=np.int64)
+    for s in range(0, n, CHUNK):
+        e = min(s + CHUNK, n)
+        c = slice(s, e)
+        cross = (x2[c] - x1[c]) * (Y[c] - y1[c]) - (y2[c] - y1[c]) * (X[c] - x1[c])
+        on_seg = (
+            (cross == 0)
+            & (np.minimum(x1[c], x2[c]) <= X[c])
+            & (X[c] <= np.maximum(x1[c], x2[c]))
+            & (np.minimum(y1[c], y2[c]) <= Y[c])
+            & (Y[c] <= np.maximum(y1[c], y2[c]))
+        )
+        boundary[c] = on_seg.any(axis=1)
+        upward = (y1[c] <= Y[c]) & (y2[c] > Y[c])
+        downward = (y1[c] > Y[c]) & (y2[c] <= Y[c])
+        winding[c] = np.sum(upward & (cross > 0), axis=1) - np.sum(
+            downward & (cross < 0), axis=1
+        )
+    out[winding != 0] = 1
+    out[boundary] = -1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # rectangle clipping (ref: src/Geometry/Util.cs:29-157 — clip target is
 # always the axis-aligned rect [-buffer, extent+buffer]^2, Util.cs:80-83)

@@ -15,7 +15,6 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
 
 
 def _norm(col):
@@ -153,64 +152,75 @@ def _brute_force_topk_arrow(emb: DataFrame, queries: DataFrame, k: int) -> DataF
     )
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
-    """Assign each vector to its nearest deterministic centroid.
-
-    Centroids are the embeddings of vec_id 0..C-1 (deterministic seed
-    set — a k-means step can replace this without changing the plan).
-    Assignment is a vectorized pandas UDF over a broadcast centroid
-    matrix (numpy matmul per Arrow batch).
-    """
-    cent_rows = (
-        emb.where(F.col("vec_id") < n_centroids)
-        .select("vec_id", "embedding")
-        .collect()
+def _centroid_dim(emb: DataFrame, n_centroids: int):
+    """Broadcast centroid dimension: embeddings of vec_id 0..C-1
+    (deterministic seed set — a k-means step can replace this without
+    changing the plan shape), with fold-order-stable norms."""
+    return F.broadcast(
+        emb.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").cast("int").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            _norm(F.col("embedding")).alias("cent_norm"),
+        )
     )
-    import numpy as np
 
-    cent = np.array([r.embedding for r in sorted(cent_rows, key=lambda r: r.vec_id)], dtype=np.float64)
-    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
 
-    @F.pandas_udf(IntegerType())
-    def _assign(embs: pd.Series) -> pd.Series:
-        M = np.array(list(embs), dtype=np.float64)
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(M @ cent.T, axis=1).astype(np.int32))
+def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Assign each vector to its nearest centroid (coarse quantizer).
 
-    return emb.withColumn("ivf_bucket", _assign(F.col("embedding")))
+    Fully relational: cross join the broadcast centroid dim (C rows, no
+    shuffle), native higher-order-fold similarity, then argmax via
+    ``max_by`` aggregation — ONE shuffle with map-side partial reduction
+    (each map task pre-collapses to one row per vec_id), never a window
+    over the C-times-expanded fact. All float math is left-fold
+    sequential, bit-identical to the DuckDB oracle's list_sum — which is
+    what makes the IVF path oracle-checkable end-to-end.
+    """
+    cent = _centroid_dim(emb, n_centroids)
+    sim = _dot(F.col("embedding"), F.col("c_emb")) / F.col("cent_norm")
+    scored = emb.crossJoin(cent).withColumn("sim", sim)
+    # argmax: highest sim, ties to the smallest cent_id
+    best = scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.max_by(
+            F.col("cent_id"), F.struct(F.col("sim"), -F.col("cent_id"))
+        ).alias("ivf_bucket"),
+    )
+    return best
 
 
 def ivf_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5,
     n_centroids: int = 16, nprobe: int = 4,
 ) -> DataFrame:
-    """Approximate cosine top-k probing only ``nprobe`` IVF buckets."""
-    import numpy as np
+    """Approximate cosine top-k probing only ``nprobe`` IVF buckets.
 
+    At 10^12 vectors the probe join touches ~nprobe/C of the corpus; the
+    bucket assignment is one narrow pass + one partially-aggregated
+    shuffle (see ivf_assign). Relational end-to-end → DuckDB-oracled.
+    """
     corpus = ivf_assign(emb, n_centroids)
-    cent_rows = (
-        emb.where(F.col("vec_id") < n_centroids).select("vec_id", "embedding").collect()
-    )
-    cent = np.array([r.embedding for r in sorted(cent_rows, key=lambda r: r.vec_id)], dtype=np.float64)
-    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    cent = _centroid_dim(emb, n_centroids)
 
-    @F.pandas_udf("array<int>")
-    def _probes(embs: pd.Series) -> pd.Series:
-        M = np.array(list(embs), dtype=np.float64)
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(M @ cent.T), axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(order))
-
-    q = F.broadcast(
-        queries.select(
+    # query probes: nprobe nearest centroids per query (queries are tiny
+    # — a window over |Q| x C rows is free)
+    qsim = _dot(F.col("embedding"), F.col("c_emb")) / F.col("cent_norm")
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        queries.select("vec_id", "embedding")
+        .crossJoin(cent)
+        .withColumn("qsim", qsim)
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= nprobe)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             _norm(F.col("embedding")).alias("q_norm"),
-            F.explode(_probes(F.col("embedding"))).alias("ivf_bucket"),
+            F.col("cent_id").alias("ivf_bucket"),
         )
     )
     scored = (
-        corpus.join(q, "ivf_bucket")
+        corpus.join(F.broadcast(probes), "ivf_bucket")
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",

@@ -83,12 +83,14 @@ def _shingle_minhash_udf(n: int = 3, perms: int = _MINHASH_PERMS):
 
 
 def hash_str64(s: str) -> int:
-    """Deterministic 64-bit FNV-1a (hash() is salted per-process — unusable
-    across executors)."""
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Deterministic 64-bit string hash: first 8 bytes of md5, little
+    endian. Chosen over FNV/xxhash because it is reproducible from SQL
+    in other engines (DuckDB: ``md5_number_upper(s)``), which lets the
+    LSH signature pipeline be oracle-checked end-to-end. (Python's
+    ``hash()`` is salted per-process — unusable across executors.)"""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -107,37 +109,36 @@ def minhash_lsh_dedup(
     """
     rows_per_band = _MINHASH_PERMS // bands
     sigs = minhash_signatures(docs, n).select("doc_id", "minhash")
+    # band key = the signature slice itself (array<long> equi-join key).
+    # Spark shuffles it by its hash internally — same physics as hashing
+    # it ourselves, but the key stays SQL-portable (oracle joins on the
+    # identical list values in DuckDB).
     banded = sigs.select(
         "doc_id",
         "minhash",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(
-                        F.col("minhash"),
-                        b * rows_per_band + 1,
-                        rows_per_band,
-                    ).cast("string"),
-                    b,
+                lambda b: F.slice(
+                    F.col("minhash"), b * rows_per_band + 1, rows_per_band
                 ),
             )
-        ).alias("band", "band_hash"),
+        ).alias("band", "band_key"),
     )
     left = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("minhash").alias("sig_a"),
         "band",
-        "band_hash",
+        "band_key",
     )
     right = banded.select(
         F.col("doc_id").alias("doc_b"),
         F.col("minhash").alias("sig_b"),
         "band",
-        "band_hash",
+        "band_key",
     )
     pairs = (
-        left.join(right, ["band", "band_hash"], "inner")
+        left.join(right, ["band", "band_key"], "inner")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sig_a", "sig_b")
         .dropDuplicates(["doc_a", "doc_b"])

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.native import tile_px, tile_py, tile_x, tile_y
-from ..functions.udfs import pip_contains
+from ..functions.udfs import broadcast_rings, pip_contains, pip_contains_bcast
 
 
 def assign_tiles(
@@ -53,23 +53,90 @@ def spatial_join_pip(
     tile_polys: DataFrame,
     broadcast_dim: bool = True,
     keep_boundary: bool = True,
+    rings=None,
+    attach_payload: bool = True,
 ) -> DataFrame:
     """Point-in-polygon spatial join (J4).
 
-    Phase 1: equi-join on (zoom, x, y) — the grid cell key. The polygon
-    dim is broadcast when small (≤ a few M rows), else sort-merge + AQE.
+    Phase 1: equi-join on (zoom, x, y) — the grid cell key.
     Phase 2: exact ray-cast refinement with the reference's boundary
     semantics ({0,1,-1}; clipper.cs:4025-4077); boundary counts as
     contained when ``keep_boundary`` (PIP != 0).
+
+    Two physical strategies, picked by ``broadcast_dim``:
+
+    - **broadcast (dim ≤ a few M rings)**: ring arrays are collected and
+      broadcast to the Python workers (the Python-side analog of a
+      broadcast-hash-join build) so only five scalar int columns cross
+      the Arrow boundary (~40 B/row vs ~100+ B/row rings-per-row); the
+      JVM side broadcast-joins just the ring-free payload columns
+      (extent etc.) — both halves stay in one narrow stage, zero
+      shuffle.
+    - **rows (dim too big to broadcast)**: JVM equi-join (sort-merge +
+      AQE skew split) attaches each row's ring; the UDF groups rows by a
+      JVM-computed xxhash64 ring key and evaluates one vectorized kernel
+      call per distinct polygon per batch.
+
+    ``rings``: optionally pass a prebuilt :func:`broadcast_rings` result
+    to amortize the (serial, driver-side) dim collect across many jobs
+    over the same tile catalog — the steady-state production shape.
     """
-    dim = tile_polys.select("zoom", "x", "y", "extent", "ring_x", "ring_y")
     if broadcast_dim:
-        dim = F.broadcast(dim)
-    joined = points.join(dim, ["zoom", "x", "y"], "inner")
-    pip = pip_contains(F.col("px"), F.col("py"), F.col("ring_x"), F.col("ring_y"))
-    joined = joined.withColumn("pip", pip)
+        if rings is None:
+            rings = broadcast_rings(points.sparkSession, tile_polys)
+        if getattr(rings, "kind", None) == "rect":
+            # all rings are axis-aligned rectangles: compile the refine
+            # to a NATIVE bbox predicate — whole-stage codegen, zero
+            # Python in the hot path (same specialization as the
+            # reference's rect-only clip target, Util.cs:80-83).
+            # Identical {0,1,-1} boundary semantics as the ray-cast.
+            spark = points.sparkSession
+            rect_dim = F.broadcast(spark.createDataFrame(rings.rect_pdf))
+            j = points.join(rect_dim, ["zoom", "x", "y"], "inner")
+            px, py = F.col("px"), F.col("py")
+            outside = (
+                (px < F.col("rect_xmin")) | (px > F.col("rect_xmax"))
+                | (py < F.col("rect_ymin")) | (py > F.col("rect_ymax"))
+            )
+            on_edge = (
+                (px == F.col("rect_xmin")) | (px == F.col("rect_xmax"))
+                | (py == F.col("rect_ymin")) | (py == F.col("rect_ymax"))
+            )
+            pip = (
+                F.when(outside, F.lit(0))
+                .when(on_edge, F.lit(-1))
+                .otherwise(F.lit(1))
+                .cast("tinyint")
+            )
+            joined = j.withColumn("pip", pip).drop(
+                "rect_xmin", "rect_xmax", "rect_ymin", "rect_ymax"
+            )
+            if attach_payload:
+                dim = F.broadcast(tile_polys.drop("ring_x", "ring_y"))
+                joined = joined.join(dim, ["zoom", "x", "y"], "inner")
+            cond = F.col("pip") != 0 if keep_boundary else F.col("pip") == 1
+            return joined.where(cond)
+        pip = pip_contains_bcast(
+            F.col("px"), F.col("py"),
+            F.col("zoom"), F.col("x"), F.col("y"), rings,
+        )
+        if attach_payload:
+            # JVM broadcast join for the dim's non-ring payload columns
+            # (extent etc.); skip it (attach_payload=False) when callers
+            # only need the point columns — the pip filter alone already
+            # realizes the inner-join semantics (misses evaluate to 0)
+            dim = F.broadcast(tile_polys.drop("ring_x", "ring_y"))
+            points = points.join(dim, ["zoom", "x", "y"], "inner")
+        joined = points.withColumn("pip", pip)
+    else:
+        dim = tile_polys.select("zoom", "x", "y", "extent", "ring_x", "ring_y")
+        joined = points.join(dim, ["zoom", "x", "y"], "inner")
+        pip = pip_contains(
+            F.col("px"), F.col("py"), F.col("ring_x"), F.col("ring_y")
+        )
+        joined = joined.withColumn("pip", pip).drop("ring_x", "ring_y")
     cond = F.col("pip") != 0 if keep_boundary else F.col("pip") == 1
-    return joined.where(cond).drop("ring_x", "ring_y")
+    return joined.where(cond)
 
 
 def salted_tile_counts(
@@ -84,8 +151,16 @@ def salted_tile_counts(
     over ``salt_buckets`` reducers, stage 2 merges the partials — the
     classic partial/final split made explicit. AQE skew handling remains
     enabled on top for residual imbalance.
+
+    The salt is ``spark_partition_id() % buckets``, NOT a per-row hash:
+    a hot tile spanning many input partitions still fans out over up to
+    ``salt_buckets`` reducers (the skew goal), but within one map task
+    every row of a tile shares a salt, so map-side partial aggregation
+    collapses at full strength — a per-row salt would shred each task's
+    hash-agg groups by 16x and push ~|rows| instead of ~|tiles| into
+    the shuffle. At 10^12 rows that difference IS the job.
     """
-    salt = (F.crc32(F.col("image_id").cast("binary")) % salt_buckets).alias("salt")
+    salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).alias("salt")
     stage1 = (
         assigned.withColumn("salt", salt)
         .groupBy("zoom", "x", "y", "salt")

@@ -75,6 +75,62 @@ def test_spatial_join_pip_subtile_polygon(spark, images):
         assert (r.image_id in inside) == expect
 
 
+def test_spatial_join_pip_rows_mode_matches_broadcast(spark, images):
+    """broadcast_dim=False (JVM join + rings-per-row UDF) must agree
+    row-for-row with the broadcast-rings path on a mixed dim (some
+    full-tile rects, some inset polygons)."""
+    assigned = assign_tiles(images, ZOOM)
+    lo, hi = 512, 3584
+    # inset ring for even x, full ring for odd x
+    mk = lambda vals: F.array(*[F.lit(v).cast("long") for v in vals])
+    polys = (
+        assigned.select("zoom", "x", "y").distinct()
+        .withColumns({
+            "extent": F.lit(4096),
+            "ring_x": F.when(F.col("x") % 2 == 0, mk((lo, hi, hi, lo, lo)))
+                       .otherwise(mk((0, 4096, 4096, 0, 0))),
+            "ring_y": F.when(F.col("x") % 2 == 0, mk((lo, lo, hi, hi, lo)))
+                       .otherwise(mk((0, 0, 4096, 4096, 0))),
+        })
+    )
+    cols = ["image_id", "zoom", "x", "y", "px", "py", "pip"]
+    a = sorted(map(tuple, spatial_join_pip(assigned, polys, broadcast_dim=True)
+                   .select(*cols).collect()))
+    b = sorted(map(tuple, spatial_join_pip(assigned, polys, broadcast_dim=False)
+                   .select(*cols).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_point_in_polygon_multi_matches_single():
+    """Vectorized multi-ring kernel ≡ per-ring kernel, uniform + ragged."""
+    import numpy as np
+
+    from mvtspark.kernels import geom
+
+    rng = np.random.default_rng(7)
+    # ring 0: rect (closed); ring 1: triangle (closed) -> ragged sizes
+    rects = [
+        (np.array([0, 100, 100, 0, 0]), np.array([0, 0, 100, 100, 0])),
+        (np.array([10, 90, 50, 10]), np.array([10, 10, 90, 10])),
+        (np.array([20, 80, 80, 20, 20]), np.array([20, 20, 80, 80, 20])),
+    ]
+    for use in ([0, 2], [0, 1, 2]):  # uniform-size path, ragged path
+        rings = [rects[i] for i in use]
+        offsets = np.r_[0, np.cumsum([r[0].size for r in rings])]
+        rxf = np.concatenate([r[0] for r in rings])
+        ryf = np.concatenate([r[1] for r in rings])
+        n = 500
+        px = rng.integers(-10, 110, n)
+        py = rng.integers(-10, 110, n)
+        ri = rng.integers(0, len(rings), n)
+        got = geom.point_in_polygon_multi(px, py, ri, offsets, rxf, ryf)
+        for r, (rx, ry) in enumerate(rings):
+            sel = ri == r
+            exp = geom.point_in_polygon(px[sel], py[sel], rx, ry)
+            assert (got[sel] == exp).all(), f"ring {r} (set {use})"
+
+
 def test_salted_counts_match_plain_groupby(spark, images):
     assigned = assign_tiles(images, ZOOM)
     salted = {
