@@ -673,6 +673,75 @@ def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- multimodal ops
+
+def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling operator (stubbed codec, REAL Spark plumbing
+    — schema/batching/UDF signature), ORACLED: the deterministic fake
+    frame hash is md5-low-64(video_id:idx) & (2^63-1), recomputable in
+    DuckDB, so sampling cadence and hashes are both checked."""
+    from mvtspark.operators.multimodal import frame_sample_stub
+
+    d = _t(spark, sf, "documents")
+    videos = d.select(
+        F.concat(F.lit("vid"), F.col("doc_id")).alias("video_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit("fake").alias("fmt"),
+        (F.lit(50) + F.col("doc_id") % 200).cast("int").alias("n_frames"),
+    )
+    return frame_sample_stub(videos, every_n=30)
+
+
+def thumbnail_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image nearest-neighbor resize (pure numpy, real not stubbed) over
+    synthetic raw-RGB images; ORACLED on the metadata contract (every
+    row resized to exactly 8x8 raw RGB = 192 bytes, no errors)."""
+    from mvtspark.operators.multimodal import resize_images
+    from mvtspark.sources.images import synth_images
+
+    imgs = synth_images(spark, 64, with_bytes=True)
+    r = resize_images(imgs, 8, 8)
+    return r.select(
+        "image_id", "w", "h", "fmt",
+        F.length("bytes").alias("n_bytes"), "error",
+    )
+
+
+def audio_window_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio windowed RMS + zero-crossing-rate over raw int16 PCM (real
+    numpy — raw PCM needs no codec). Rows-only: the float reductions
+    aren't bit-replicable in SQL; determinism is covered by the fixed
+    synthesis seed."""
+    from mvtspark.operators.multimodal import audio_features
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 32)
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                t = np.arange(4096, dtype=np.float64)
+                freq = 0.01 + (int(did) % 17) * 0.005
+                wave = np.sin(2 * np.pi * freq * t) * 12000.0
+                pcm = wave.astype("<i2").tobytes()
+                out.append(
+                    dict(audio_id=f"aud{int(did)}", pcm=pcm, sample_rate=16000)
+                )
+            yield pd.DataFrame(out, columns=["audio_id", "pcm", "sample_rate"])
+
+    audio = d.select("doc_id").mapInPandas(
+        _gen, schema="audio_id string, pcm binary, sample_rate int"
+    )
+    out = audio_features(audio, window=1024)
+    return out.select(
+        "audio_id", "win_idx", F.round("rms", 4).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -711,6 +780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zigzag_varint_sql": zigzag_varint_sql,
         "validate_tiles_corpus": validate_tiles_corpus,
         "approx_distinct_users": approx_distinct_users,
+        "frame_sample": frame_sample,
+        "thumbnail_resize": thumbnail_resize,
+        "audio_window_features": audio_window_features,
     }
 
 
@@ -1184,6 +1256,23 @@ def oracle_sql() -> dict[str, str]:
               (CAST(CASE WHEN uzz % 2 = 0 THEN uzz // 2
                     ELSE -((uzz + 1) // 2) END AS BIGINT) = n) AS roundtrip_ok
             FROM z
+        """,
+        "frame_sample": f"""
+            WITH v AS (SELECT 'vid' || CAST(doc_id AS VARCHAR) AS video_id,
+                50 + doc_id % 200 AS n_frames FROM documents),
+            f AS (SELECT video_id,
+                unnest(range(0, n_frames, 30)) AS frame_idx FROM v)
+            SELECT video_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+              CAST(md5_number_upper(video_id || ':'
+                   || CAST(frame_idx AS VARCHAR)) % {i64max1} AS BIGINT)
+                AS frame_hash
+            FROM f
+        """,
+        "thumbnail_resize": """
+            SELECT printf('img%012d', i) AS image_id,
+              8 AS w, 8 AS h, 'raw' AS fmt,
+              192 AS n_bytes, CAST(NULL AS VARCHAR) AS error
+            FROM range(0, 64) t(i)
         """,
         "validate_tiles_corpus": """
             WITH t AS (SELECT CAST(o_orderkey % 4 AS INT) AS x,
