@@ -673,6 +673,54 @@ def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def xyz_cell_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """D18 hierarchical cell key (packed Morton tile cell, the grid-
+    aligned spatial-join key), ORACLED: the kernel's bit-spread
+    interleave is recomputed in SQL as a 4-bit positional sum at zoom 4.
+    The S2 Hilbert variant is covered by kernel unit tests (its face/UV
+    trig isn't SQL-reproducible bit-for-bit)."""
+    from mvtspark.functions.udfs import xyz_cell
+
+    pts = _event_points(spark, sf)
+    return pts.select(
+        "event_id",
+        xyz_cell(F.col("lng"), F.col("lat"), 4).alias("cell"),
+    )
+
+
+def mvt_clip_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """P3/J3 clip operators in the decode path, ORACLED via the
+    reference's own Clipping invariant (TestMvtInBulk.cs:183-209):
+    clip(buffer=0) is a no-op on in-bounds geometry, so encode → decode
+    → clip must still hash-match the relationally recomputed input.
+    Exercises bbox point clip (Util.cs:42-68) and the rect-intersection
+    ring path (Util.cs:75-157) end-to-end."""
+    from mvtspark.sources.tiles import clip_features, decode_tiles, encode_tiles
+
+    o = _t(spark, sf, "orders")
+    feats = o.select(
+        F.lit(2).alias("zoom"),
+        (F.col("o_orderkey") % 4).cast("int").alias("x"),
+        ((F.col("o_orderkey") / 4).cast("long") % 4).cast("int").alias("y"),
+        F.lit(4096).alias("extent"),
+        F.col("o_orderkey").alias("feature_id"),
+        F.lit(1).alias("geom_type"),
+        F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("part_offsets"),
+        F.array(F.col("o_orderkey") * 7919 % 4096).alias("xs"),
+        F.array(F.col("o_orderkey") * 104729 % 4096).alias("ys"),
+        F.to_json(F.struct(F.col("o_orderstatus").alias("status"))).alias("props"),
+    )
+    tiles = encode_tiles(feats, layer_name="orders")
+    dec = decode_tiles(tiles.select("zoom", "x", "y", "mvt"))
+    clipped = clip_features(dec, buffer=0)
+    return clipped.where(F.col("decode_error").isNull()).select(
+        "zoom", "x", "y", "feature_id", "geom_type",
+        F.element_at("xs", 1).alias("px"),
+        F.element_at("ys", 1).alias("py"),
+        F.get_json_object("props", "$.status").alias("status"),
+    )
+
+
 # ---------------------------------------------------------- multimodal ops
 
 def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -780,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zigzag_varint_sql": zigzag_varint_sql,
         "validate_tiles_corpus": validate_tiles_corpus,
         "approx_distinct_users": approx_distinct_users,
+        "xyz_cell_keys": xyz_cell_keys,
+        "mvt_clip_roundtrip": mvt_clip_roundtrip,
         "frame_sample": frame_sample,
         "thumbnail_resize": thumbnail_resize,
         "audio_window_features": audio_window_features,
@@ -969,6 +1019,30 @@ def oracle_sql() -> dict[str, str]:
               FROM d) WHERE knn_rank <= 3
         """,
         "mvt_roundtrip": """
+            SELECT 2 AS zoom,
+              CAST(o_orderkey % 4 AS INT) AS x,
+              CAST(CAST(FLOOR(o_orderkey / 4) AS BIGINT) % 4 AS INT) AS y,
+              o_orderkey AS feature_id, 1 AS geom_type,
+              o_orderkey * 7919 % 4096 AS px,
+              o_orderkey * 104729 % 4096 AS py,
+              o_orderstatus AS status
+            FROM orders
+        """,
+        "xyz_cell_keys": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            g AS (SELECT event_id, {gx4} AS gx, {gy4} AS gy FROM pts),
+            t AS (SELECT event_id,
+                CAST(GREATEST(0, LEAST(15, FLOOR(gx / 4096))) AS BIGINT) AS x,
+                CAST(GREATEST(0, LEAST(15, FLOOR(gy / 4096))) AS BIGINT) AS y
+              FROM g)
+            SELECT event_id,
+              1152921504606846976 + list_sum([
+                ((x // (1 << k)) % 2) * (1 << (2*k))
+                + ((y // (1 << k)) % 2) * (1 << (2*k + 1))
+                for k in range(0, 4)]) AS cell
+            FROM t
+        """,
+        "mvt_clip_roundtrip": """
             SELECT 2 AS zoom,
               CAST(o_orderkey % 4 AS INT) AS x,
               CAST(CAST(FLOOR(o_orderkey / 4) AS BIGINT) % 4 AS INT) AS y,

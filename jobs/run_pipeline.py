@@ -34,8 +34,13 @@ import sys
 import uuid
 
 # local fallback: on a cluster --py-files ships mvtspark; running the file
-# directly needs the repo root on sys.path
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# directly needs the repo root on the DRIVER's sys.path and — because
+# Python UDF workers are separate processes that only inherit PYTHONPATH,
+# not sys.path — on PYTHONPATH too, before the session (and its worker
+# env snapshot) is created
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import SparkSession, functions as F
 

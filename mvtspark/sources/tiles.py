@@ -173,6 +173,60 @@ def decode_tiles(tiles: DataFrame, validate: bool = False) -> DataFrame:
     return tiles.mapInPandas(_decode, schema=FEATURES_SCHEMA)
 
 
+def clip_features(features: DataFrame, buffer: int = 0) -> DataFrame:
+    """Clip decoded feature geometries to the tile rect
+    ``[-buffer, extent+buffer]^2`` — the engine form of the reference's
+    ``feature.Geometry<T>(clipBuffer)`` path (VectorTileFeature.cs:
+    82-116): points → bbox filter (Util.cs:42-68), linestrings →
+    segment clip into sub-lines, polygon rings → rect intersection with
+    a per-ring loop (the clip target is ALWAYS an axis-aligned rect —
+    Util.cs:80-83 — so Sutherland–Hodgman replaces the full Vatti
+    engine). Features whose geometry clips away entirely are dropped;
+    error rows pass through unchanged.
+    """
+
+    def _clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mvtspark.kernels import geom as gk
+
+        cols = [c.split()[0] for c in FEATURES_SCHEMA.split(", ")]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.decode_error is not None:
+                    out.append({c: getattr(row, c) for c in cols})
+                    continue
+                off = np.asarray(row.part_offsets, dtype=np.int64)
+                xs = np.asarray(row.xs, dtype=np.int64)
+                ys = np.asarray(row.ys, dtype=np.int64)
+                extent = int(row.extent)
+                new_parts: list[tuple[np.ndarray, np.ndarray]] = []
+                for p in range(len(off) - 1):
+                    px, py = xs[off[p]: off[p + 1]], ys[off[p]: off[p + 1]]
+                    if row.geom_type == 1:  # POINT
+                        cx, cy = gk.clip_points(px, py, extent, buffer)
+                        if cx.size:
+                            new_parts.append((cx, cy))
+                    elif row.geom_type == 2:  # LINESTRING
+                        new_parts.extend(gk.clip_line(px, py, extent, buffer))
+                    else:  # POLYGON rings
+                        cx, cy = gk.clip_ring(px, py, extent, buffer)
+                        if cx.size:
+                            new_parts.append((cx, cy))
+                if not new_parts:
+                    continue  # fully clipped away (ref: empty geometry)
+                sizes = [p[0].size for p in new_parts]
+                rec = {c: getattr(row, c) for c in cols}
+                rec["part_offsets"] = np.r_[0, np.cumsum(sizes)].astype(np.int32)
+                rec["xs"] = np.concatenate([p[0] for p in new_parts])
+                rec["ys"] = np.concatenate([p[1] for p in new_parts])
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
+
+    return features.mapInPandas(_clip, schema=FEATURES_SCHEMA)
+
+
 def encode_tiles(
     features: DataFrame, layer_name: str = "features", partitions: int | None = None
 ) -> DataFrame:

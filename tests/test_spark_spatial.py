@@ -131,6 +131,41 @@ def test_point_in_polygon_multi_matches_single():
             assert (got[sel] == exp).all(), f"ring {r} (set {use})"
 
 
+def test_clip_features_boundary_and_noop(spark):
+    """clip_features: clip(0) is a no-op on in-bounds geometry (the
+    reference Clipping invariant, TestMvtInBulk.cs:183-209); geometry
+    crossing the tile edge is clipped hard to [0, extent] (post-clip
+    bounds invariant, TestMvtInBulk.cs:246-275)."""
+    from mvtspark.sources.tiles import clip_features
+
+    rows = [
+        # in-bounds point
+        (2, 0, 0, "l", 4096, 1, 1, [0, 1], [100], [200], "{}", None),
+        # out-of-bounds point -> dropped at buffer 0
+        (2, 0, 0, "l", 4096, 2, 1, [0, 1], [5000], [200], "{}", None),
+        # line crossing the right edge -> clipped at x=4096
+        (2, 0, 0, "l", 4096, 3, 2, [0, 2], [4000, 5000], [0, 1000], "{}", None),
+        # square ring straddling the edge -> clipped to the rect
+        (2, 0, 0, "l", 4096, 4, 3, [0, 5],
+         [3000, 5000, 5000, 3000, 3000], [1000, 1000, 2000, 2000, 1000],
+         "{}", None),
+    ]
+    schema = (
+        "zoom int, x int, y int, layer string, extent int, feature_id long,"
+        "geom_type int, part_offsets array<int>, xs array<long>,"
+        "ys array<long>, props string, decode_error string"
+    )
+    df = spark.createDataFrame(rows, schema=schema)
+    got = {r.feature_id: r for r in clip_features(df, buffer=0).collect()}
+    assert set(got) == {1, 3, 4}  # feature 2 clipped away entirely
+    assert (got[1].xs, got[1].ys) == ([100], [200])  # untouched
+    assert got[3].xs == [4000, 4096] and got[3].ys == [0, 96]
+    assert max(got[4].xs) == 4096 and min(got[4].xs) == 3000
+    assert got[4].xs[0] == got[4].xs[-1] and got[4].ys[0] == got[4].ys[-1]
+    for fid in (3, 4):
+        assert all(0 <= v <= 4096 for v in got[fid].xs + got[fid].ys)
+
+
 def test_salted_counts_match_plain_groupby(spark, images):
     assigned = assign_tiles(images, ZOOM)
     salted = {
