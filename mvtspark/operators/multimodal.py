@@ -55,8 +55,8 @@ def image_roundtrip_stats(images: DataFrame) -> DataFrame:
                 try:
                     img = decode_image(bytes(row.bytes), int(row.w), int(row.h), row.fmt)
                     i = int(row.image_id[3:])
-                    ref_bytes, w, h, _ = synth_image(i)
-                    ref = np.frombuffer(ref_bytes, dtype=np.uint8).reshape(h, w, 3)
+                    ref_bytes, w, h, ref_fmt = synth_image(i)
+                    ref = decode_image(ref_bytes, w, h, ref_fmt)
                     p = psnr(ref, img)
                     lat, lng = synth_latlng(np.array([i]))
                     rec.update(

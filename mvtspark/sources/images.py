@@ -41,6 +41,7 @@ def _gen(batches: Iterator[pd.DataFrame], with_bytes: bool) -> Iterator[pd.DataF
     import numpy as np
 
     from mvtspark.kernels.image import (
+        decode_image,
         phash64,
         synth_caption,
         synth_image,
@@ -67,7 +68,7 @@ def _gen(batches: Iterator[pd.DataFrame], with_bytes: bool) -> Iterator[pd.DataF
             rows["h"].append(h)
             rows["fmt"].append(fmt)
             rows["caption"].append(synth_caption(int(i), lat[k], lng[k]))
-            img = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+            img = decode_image(data, w, h, fmt)  # raw view or PNG inflate
             rows["phash"].append(phash64(img))
         if not with_bytes:
             del rows["bytes"]

@@ -84,10 +84,15 @@ def test_phash_properties():
 
 
 def test_synth_deterministic():
-    b1, w1, h1, f1 = image.synth_image(12345)
+    b1, w1, h1, f1 = image.synth_image(12345)  # 12345 % 3 == 0 -> png
     b2, w2, h2, f2 = image.synth_image(12345)
     assert b1 == b2 and (w1, h1, f1) == (w2, h2, f2)
-    assert len(b1) == w1 * h1 * 3
+    assert f1 == "png" and b1[:8] == b"\x89PNG\r\n\x1a\n"
+    br, wr, hr, fr = image.synth_image(12346)  # not divisible by 3 -> raw
+    assert fr == "raw" and len(br) == wr * hr * 3
+    # both decode back losslessly
+    assert image.decode_image(b1, w1, h1, f1).shape == (h1, w1, 3)
+    assert image.decode_image(br, wr, hr, fr).shape == (hr, wr, 3)
     lat1, lng1 = image.synth_latlng(np.array([0, 1, 2, 10**9]))
     lat2, lng2 = image.synth_latlng(np.array([0, 1, 2, 10**9]))
     assert np.array_equal(lat1, lat2) and np.array_equal(lng1, lng2)
