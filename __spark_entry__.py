@@ -684,6 +684,86 @@ def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def mvt_roundtrip_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """S9/D7/D8 multi-vertex LINESTRING round-trip, ORACLED: 4-vertex
+    polylines exercise the delta+zigzag cursor across MoveTo/LineTo
+    command runs (DecodeGeometry.cs:39-90); decoded vertices are
+    exploded to rows and must hash-match the relationally recomputed
+    inputs."""
+    from mvtspark.sources.tiles import decode_tiles, encode_tiles
+
+    o = _t(spark, sf, "orders")
+    idx = F.sequence(F.lit(0), F.lit(3))
+    xs = F.transform(idx, lambda i: (F.col("o_orderkey") * (i + 7) * 2654435761) % 4096)
+    ys = F.transform(idx, lambda i: ((F.col("o_orderkey") + i * 13) * 40503) % 4096)
+    feats = o.select(
+        F.lit(3).alias("zoom"),
+        (F.col("o_orderkey") % 8).cast("int").alias("x"),
+        ((F.col("o_orderkey") / 8).cast("long") % 8).cast("int").alias("y"),
+        F.lit(4096).alias("extent"),
+        F.col("o_orderkey").alias("feature_id"),
+        F.lit(2).alias("geom_type"),
+        F.array(F.lit(0), F.lit(4)).cast("array<int>").alias("part_offsets"),
+        xs.alias("xs"),
+        ys.alias("ys"),
+        F.to_json(F.struct(F.col("o_orderpriority").alias("prio"))).alias("props"),
+    )
+    tiles = encode_tiles(feats, layer_name="lines")
+    dec = decode_tiles(tiles.select("zoom", "x", "y", "mvt"))
+    v = dec.where(F.col("decode_error").isNull()).select(
+        "zoom", "x", "y", "feature_id", "geom_type",
+        F.posexplode(F.zip_with("xs", "ys", lambda a, b: F.struct(a.alias("px"), b.alias("py")))),
+        F.get_json_object("props", "$.prio").alias("prio"),
+    )
+    return v.select(
+        "zoom", "x", "y", "feature_id", "geom_type",
+        F.col("pos").alias("vertex_idx"),
+        F.col("col.px").alias("px"), F.col("col.py").alias("py"),
+        "prio",
+    )
+
+
+def mvt_roundtrip_polys(spark: SparkSession, sf: str) -> DataFrame:
+    """S9/D8 POLYGON round-trip, ORACLED including the reference's
+    explicit ring closure: ClosePath appends the first vertex, so a
+    decoded 4-vertex ring comes back with 5 vertices, first == last
+    (DecodeGeometry.cs:39-90) — the oracle generates exactly that."""
+    from mvtspark.sources.tiles import decode_tiles, encode_tiles
+
+    o = _t(spark, sf, "orders")
+    # axis-aligned rect ring from the key, EXPLICITLY CLOSED (first ==
+    # last — the decoded-ring convention the encoder expects; on the
+    # wire the closing vertex becomes ClosePath and the decoder appends
+    # it back, DecodeGeometry.cs:39-90)
+    x0 = (F.col("o_orderkey") * 131) % 2048
+    y0 = (F.col("o_orderkey") * 223) % 2048
+    wd = F.lit(64) + (F.col("o_orderkey") % 512)
+    ht = F.lit(64) + ((F.col("o_orderkey") * 7) % 512)
+    feats = o.select(
+        F.lit(3).alias("zoom"),
+        (F.col("o_orderkey") % 8).cast("int").alias("x"),
+        ((F.col("o_orderkey") / 8).cast("long") % 8).cast("int").alias("y"),
+        F.lit(4096).alias("extent"),
+        F.col("o_orderkey").alias("feature_id"),
+        F.lit(3).alias("geom_type"),
+        F.array(F.lit(0), F.lit(5)).cast("array<int>").alias("part_offsets"),
+        F.array(x0, x0 + wd, x0 + wd, x0, x0).alias("xs"),
+        F.array(y0, y0, y0 + ht, y0 + ht, y0).alias("ys"),
+        F.to_json(F.struct(F.col("o_orderstatus").alias("status"))).alias("props"),
+    )
+    tiles = encode_tiles(feats, layer_name="polys")
+    dec = decode_tiles(tiles.select("zoom", "x", "y", "mvt"))
+    v = dec.where(F.col("decode_error").isNull()).select(
+        "zoom", "x", "y", "feature_id",
+        F.posexplode(F.zip_with("xs", "ys", lambda a, b: F.struct(a.alias("px"), b.alias("py")))),
+    )
+    return v.select(
+        "zoom", "x", "y", "feature_id",
+        F.col("pos").alias("vertex_idx"),
+        F.col("col.px").alias("px"), F.col("col.py").alias("py"),
+    )
+
+
 def xyz_cell_keys(spark: SparkSession, sf: str) -> DataFrame:
     """D18 hierarchical cell key (packed Morton tile cell, the grid-
     aligned spatial-join key), ORACLED: the kernel's bit-spread
@@ -839,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zigzag_varint_sql": zigzag_varint_sql,
         "validate_tiles_corpus": validate_tiles_corpus,
         "approx_distinct_users": approx_distinct_users,
+        "mvt_roundtrip_lines": mvt_roundtrip_lines,
+        "mvt_roundtrip_polys": mvt_roundtrip_polys,
         "xyz_cell_keys": xyz_cell_keys,
         "mvt_clip_roundtrip": mvt_clip_roundtrip,
         "frame_sample": frame_sample,
@@ -1038,6 +1120,37 @@ def oracle_sql() -> dict[str, str]:
               o_orderkey * 104729 % 4096 AS py,
               o_orderstatus AS status
             FROM orders
+        """,
+        "mvt_roundtrip_lines": """
+            WITH v AS (SELECT o_orderkey, o_orderpriority,
+                unnest(range(0, 4)) AS i FROM orders)
+            SELECT 3 AS zoom, CAST(o_orderkey % 8 AS INT) AS x,
+              CAST(CAST(FLOOR(o_orderkey / 8) AS BIGINT) % 8 AS INT) AS y,
+              o_orderkey AS feature_id, 2 AS geom_type,
+              CAST(i AS INTEGER) AS vertex_idx,
+              (o_orderkey * (i + 7) * 2654435761) % 4096 AS px,
+              ((o_orderkey + i * 13) * 40503) % 4096 AS py,
+              o_orderpriority AS prio
+            FROM v
+        """,
+        "mvt_roundtrip_polys": """
+            WITH v AS (SELECT o_orderkey, unnest(range(0, 5)) AS i
+                       FROM orders),
+            c AS (SELECT o_orderkey, i,
+                CASE WHEN i = 4 THEN 0 ELSE i END AS j,
+                (o_orderkey * 131) % 2048 AS x0,
+                (o_orderkey * 223) % 2048 AS y0,
+                64 + (o_orderkey % 512) AS wd,
+                64 + ((o_orderkey * 7) % 512) AS ht
+              FROM v)
+            SELECT 3 AS zoom, CAST(o_orderkey % 8 AS INT) AS x,
+              CAST(CAST(FLOOR(o_orderkey / 8) AS BIGINT) % 8 AS INT) AS y,
+              o_orderkey AS feature_id,
+              CAST(i AS INTEGER) AS vertex_idx,
+              CASE WHEN j = 0 THEN x0 WHEN j = 3 THEN x0
+                   ELSE x0 + wd END AS px,
+              CASE WHEN j <= 1 THEN y0 ELSE y0 + ht END AS py
+            FROM c
         """,
         "xyz_cell_keys": f"""
             WITH pts AS ({_EVENT_PTS}),
