@@ -174,6 +174,54 @@ def spatial_core_job(spark, points_path: str, n: int):
     return int(row.rows), int(row.tiles)
 
 
+_REF_TILES_CACHE: dict = {}
+
+
+def mvt_decode_ref_job(spark, n_tiles: int = 210, fpt: int = 1200, nv: int = 20):
+    """Reference-bench-shaped DECODE throughput: 210 z14 tiles (the
+    14x15 grid of src/Bench/Program.cs:23-63) with ~1200 20-vertex
+    linestring features each — realistic tile density, so the
+    batch-vectorized geometry path dominates instead of per-feature
+    overhead. Tiles are encoded once and cached (the reference preloads
+    bytes too); the timed section is decode-only. Returns
+    (n_tiles, n_features, n_vertices)."""
+    from pyspark.sql import functions as F
+
+    from mvtspark.sources.tiles import decode_tiles, encode_tiles
+
+    key = (n_tiles, fpt, nv)
+    tiles = _REF_TILES_CACHE.get(key)
+    if tiles is None:
+        ids = spark.range(0, n_tiles * fpt, numPartitions=64)
+        t = (F.col("id") / fpt).cast("long")
+        vseq = F.sequence(F.lit(0), F.lit(nv - 1))
+        feats = ids.select(
+            F.lit(14).alias("zoom"),
+            (F.lit(4680) + t % 14).cast("int").alias("x"),
+            (F.lit(6260) + (t / 14).cast("long") % 15).cast("int").alias("y"),
+            F.lit(4096).alias("extent"),
+            (F.col("id") + 1).alias("feature_id"),
+            F.lit(2).alias("geom_type"),
+            F.array(F.lit(0), F.lit(nv)).cast("array<int>").alias("part_offsets"),
+            F.transform(vseq, lambda v: (F.col("id") * 31 + v * 977) % 4096).alias("xs"),
+            F.transform(vseq, lambda v: (F.col("id") * 57 + v * 677) % 4096).alias("ys"),
+            F.to_json(
+                F.struct((F.col("id") % 30).cast("string").alias("class"))
+            ).alias("props"),
+        )
+        tiles = (
+            encode_tiles(feats, layer_name="roads")
+            .select("zoom", "x", "y", "mvt")
+            .repartition(64)
+            .cache()
+        )
+        tiles.count()
+        _REF_TILES_CACHE[key] = tiles
+    dec = decode_tiles(tiles)
+    nfeat = dec.where(F.col("decode_error").isNull()).count()
+    return n_tiles, nfeat, nfeat * nv
+
+
 def mvt_codec_job(spark, points_path: str, cap: int = 300_000):
     """Encode per-tile MVT protobufs from joined points and decode them
     back (S9 + D1-D8) — the reference Bench's decode loop, distributed."""
@@ -328,6 +376,8 @@ def main() -> None:
     q["spatial_join_pipeline"] = round(sp_avg, 3)
     mv_avg, _, n_feats = timed(lambda: mvt_codec_job(spark, args.points))
     q["mvt_encode_decode"] = round(mv_avg, 3)
+    rd_avg, _, (rt, rf, rv) = timed(lambda: mvt_decode_ref_job(spark))
+    q["mvt_decode_ref"] = round(rd_avg, 3)
     total = round(sum(q.values()), 3)
     print(json.dumps({
         "metric": "tile-assignment + spatial-join + headline-suite elapsed",
@@ -340,6 +390,9 @@ def main() -> None:
         "spatial_tiles": tiles,
         "rows_per_sec": round(rows / sp_avg, 1),
         "tiles_per_sec": round(tiles / sp_avg, 1),
+        "ref_decode_tiles_per_sec": round(rt / rd_avg, 1),
+        "ref_decode_features_per_sec": round(rf / rd_avg, 1),
+        "ref_decode_vertices_per_sec": round(rv / rd_avg, 1),
         "mvt_features_decoded": n_feats,
         "mvt_features_per_sec": round(n_feats / mv_avg, 1),
     }))

@@ -591,6 +591,110 @@ def encode_tile_rows(
     return blobs
 
 
+def _vec_varint_at(
+    buf: np.ndarray, pos: np.ndarray, active: np.ndarray, limit: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized base-128 varint read at per-row byte positions.
+
+    Returns (values u64, new positions, error mask). Rows outside
+    ``active`` are untouched. Errors: read past ``limit`` or >10 bytes
+    (PbfReader.cs:56-75's bound)."""
+    n = pos.size
+    val = np.zeros(n, dtype=np.uint64)
+    p = pos.copy()
+    shift = np.zeros(n, dtype=np.uint64)
+    cont = active.copy()
+    err = np.zeros(n, dtype=bool)
+    for _ in range(10):
+        if not cont.any():
+            break
+        over = cont & (p >= limit)
+        err |= over
+        cont &= ~over
+        idx = np.flatnonzero(cont)
+        if idx.size == 0:
+            break
+        b = buf[p[idx]].astype(np.uint64)
+        val[idx] |= (b & np.uint64(0x7F)) << shift[idx]
+        p[idx] += 1
+        shift[idx] += np.uint64(7)
+        cont[idx] = (b & np.uint64(0x80)) != 0
+    err |= cont  # still continuing after 10 bytes
+    return val, p, err
+
+
+_MAX_FEATURE_FIELDS = 64  # parser round cap; real features have <= ~6 fields
+
+
+def _parse_feature_headers(
+    allbuf: np.ndarray, fstart: np.ndarray, fend: np.ndarray
+) -> tuple:
+    """Vectorized walk of ALL feature messages at once (the per-feature
+    Python loop dominated decode profiles at ~22us/feature; this replaces
+    it with ~(#fields) masked numpy rounds over the whole batch).
+
+    Returns (fid u64, gt i64, tag_start, tag_end, geom_start, geom_end,
+    err bool) — spans are absolute offsets into ``allbuf``; rows with
+    ``err`` must invalidate their whole tile (same semantics as the
+    per-tile exception in the scalar path)."""
+    n = fstart.size
+    fid = np.zeros(n, dtype=np.uint64)
+    gt = np.zeros(n, dtype=np.int64)
+    tstart = np.zeros(n, dtype=np.int64)
+    tend = np.zeros(n, dtype=np.int64)
+    gstart = np.zeros(n, dtype=np.int64)
+    gend = np.zeros(n, dtype=np.int64)
+    err = np.zeros(n, dtype=bool)
+    p = fstart.astype(np.int64).copy()
+    end = fend.astype(np.int64)
+    active = p < end
+    for _ in range(_MAX_FEATURE_FIELDS):
+        if not active.any():
+            break
+        key, p2, e = _vec_varint_at(allbuf, p, active, end)
+        err |= e
+        active &= ~e
+        tag = (key >> np.uint64(3)).astype(np.int64)
+        wt = (key & np.uint64(7)).astype(np.int64)
+
+        newp = p2.copy()
+        # wire type 0: varint payload (F_ID tag 1, F_TYPE tag 3, unknowns)
+        isv = active & (wt == 0)
+        if isv.any():
+            val, p3, e = _vec_varint_at(allbuf, p2, isv, end)
+            err |= e
+            m = isv & (tag == 1)
+            fid[m] = val[m]
+            m = isv & (tag == 3)
+            gt[m] = val[m].astype(np.int64)
+            newp[isv] = p3[isv]
+        # wire type 2: length-delimited (F_TAGS tag 2, F_GEOMETRY tag 4)
+        isl = active & (wt == 2)
+        if isl.any():
+            sl, p4, e2 = _vec_varint_at(allbuf, p2, isl, end)
+            err |= e2
+            ld_end = p4 + sl.astype(np.int64)
+            m = isl & (tag == 2)
+            tstart[m] = p4[m]
+            tend[m] = ld_end[m]
+            m = isl & (tag == 4)
+            gstart[m] = p4[m]
+            gend[m] = ld_end[m]
+            newp[isl] = ld_end[isl]
+        # fixed-width unknowns
+        isf32 = active & (wt == 5)
+        newp[isf32] = p2[isf32] + 4
+        isf64 = active & (wt == 1)
+        newp[isf64] = p2[isf64] + 8
+        # unsupported wire types (3, 4, 6, 7) — same as pbf.skip raising
+        err |= active & ~np.isin(wt, (0, 1, 2, 5))
+        err |= active & (newp > end)
+        p = newp
+        active = active & ~err & (p < end)
+    err |= active  # field-count cap exceeded
+    return fid, gt, tstart, tend, gstart, gend, err
+
+
 def decode_tile_rows(blobs: list) -> tuple:
     """Decode a batch of tile blobs → flat per-feature columns.
 
@@ -598,23 +702,22 @@ def decode_tile_rows(blobs: list) -> tuple:
     xs_list, ys_list, off_list, props_list, err_tiles) where err_tiles is
     {tile_idx: error_str} for undecodable tiles (lenient mode).
 
-    Structure walk is per-tile/per-feature Python (cheap field headers);
-    varint + geometry decode is batch-vectorized across ALL features.
-    """
+    Tile/layer structure walk is per-tile Python (few iterations);
+    feature headers, varint streams and geometry are batch-vectorized
+    across ALL features of ALL tiles in the batch."""
     import json as _json
 
     from . import mvt as mk
     from .pbf import read_key, read_varint, skip
 
-    tidx: list[int] = []
-    lnames: list[str] = []
-    exts: list[int] = []
-    fids: list[int] = []
-    gtypes: list[int] = []
-    tagspans: list[tuple[int, int, int]] = []  # (buf_id, start, end)
-    geomspans: list[tuple[int, int, int]] = []
-    featlayer: list[int] = []  # per-feature layer ordinal (for props join)
-    layer_dicts: list[tuple[list[str], list]] = []
+    # per-layer records from the python tile/layer walk
+    lay_tile: list[int] = []
+    lay_buf: list[int] = []
+    lay_name: list[str] = []
+    lay_ext: list[int] = []
+    lay_keys: list[list[str]] = []
+    lay_vals: list[list] = []
+    lay_fs: list[list[tuple[int, int]]] = []  # local feature spans
     err_tiles: dict[int, str] = {}
     bufs: list[np.ndarray] = []
 
@@ -636,10 +739,10 @@ def decode_tile_rows(blobs: list) -> tuple:
                     continue
                 ln, pos = read_varint(buf, pos)
                 lstart, lend = pos, pos + ln
+                if lend > n:
+                    raise mk.MvtError("layer length overruns tile")
                 pos = lend
-                # --- layer walk
                 name = ""
-                version = 0
                 extent = mk.DEFAULT_EXTENT
                 keys: list[str] = []
                 values: list = []
@@ -648,7 +751,7 @@ def decode_tile_rows(blobs: list) -> tuple:
                 while p < lend:
                     t2, w2, p = read_key(buf, p)
                     if t2 == mk.L_VERSION:
-                        version, p = read_varint(buf, p)
+                        _, p = read_varint(buf, p)
                     elif t2 == mk.L_NAME:
                         sl, p = read_varint(buf, p)
                         name = bytes(buf[p : p + sl]).decode("utf-8")
@@ -672,83 +775,26 @@ def decode_tile_rows(blobs: list) -> tuple:
                 if name in seen_names:
                     raise mk.MvtError(f"duplicate layer name {name}")
                 seen_names.add(name)
-                lid = len(layer_dicts)
-                layer_dicts.append((keys, values))
-                # --- feature walks (varint reads inlined — the function-call
-                # overhead of read_key/read_varint dominated the profile)
-                for fs, fe in fspans:
-                    fid = 0
-                    gt = 0
-                    tspan = (buf_id, 0, 0)
-                    gspan = (buf_id, 0, 0)
-                    p = fs
-                    while p < fe:
-                        key = data[p]
-                        p += 1
-                        if key & 0x80:  # rare: multi-byte field key
-                            key &= 0x7F
-                            sh = 7
-                            while True:
-                                b_ = data[p]
-                                p += 1
-                                key |= (b_ & 0x7F) << sh
-                                if not (b_ & 0x80):
-                                    break
-                                sh += 7
-                        t3 = key >> 3
-                        if t3 == 1:  # F_ID, varint
-                            fid = data[p]
-                            p += 1
-                            if fid & 0x80:
-                                fid &= 0x7F
-                                sh = 7
-                                while True:
-                                    b_ = data[p]
-                                    p += 1
-                                    fid |= (b_ & 0x7F) << sh
-                                    if not (b_ & 0x80):
-                                        break
-                                    sh += 7
-                        elif t3 == 3:  # F_TYPE, small varint
-                            gt = data[p]
-                            p += 1
-                        elif t3 == 2 or t3 == 4:  # F_TAGS / F_GEOMETRY, LD
-                            sl = data[p]
-                            p += 1
-                            if sl & 0x80:
-                                sl &= 0x7F
-                                sh = 7
-                                while True:
-                                    b_ = data[p]
-                                    p += 1
-                                    sl |= (b_ & 0x7F) << sh
-                                    if not (b_ & 0x80):
-                                        break
-                                    sh += 7
-                            if t3 == 2:
-                                tspan = (buf_id, p, p + sl)
-                            else:
-                                gspan = (buf_id, p, p + sl)
-                            p += sl
-                        else:
-                            p = skip(buf, p, key & 0x7)
-                    tidx.append(ti)
-                    lnames.append(name)
-                    exts.append(extent)
-                    fids.append(fid)
-                    gtypes.append(gt)
-                    tagspans.append(tspan)
-                    geomspans.append(gspan)
-                    featlayer.append(lid)
+                lay_tile.append(ti)
+                lay_buf.append(buf_id)
+                lay_name.append(name)
+                lay_ext.append(extent)
+                lay_keys.append(keys)
+                lay_vals.append(values)
+                lay_fs.append(fspans)
             bufs.append(np.frombuffer(data, dtype=np.uint8))
         except Exception as e:  # lenient: tile-level error row
             err_tiles[ti] = str(e)
 
-    nfeat = len(fids)
+    nlayers = len(lay_name)
+    counts = np.fromiter(
+        (len(f) for f in lay_fs), dtype=np.int64, count=nlayers
+    )
+    nfeat = int(counts.sum())
+    empty = ([], [], [], [], [], [], [], [], [], err_tiles)
     if nfeat == 0:
-        return (tidx, lnames, exts, fids, gtypes, [], [], [], [], err_tiles)
+        return empty
 
-    # --- batch varint decode of all geometry + tag streams
     buf_base = np.zeros(len(bufs) + 1, dtype=np.int64)
     np.cumsum(
         np.fromiter((b.size for b in bufs), dtype=np.int64, count=len(bufs)),
@@ -756,11 +802,39 @@ def decode_tile_rows(blobs: list) -> tuple:
     )
     allbuf = np.concatenate(bufs) if bufs else np.empty(0, np.uint8)
 
-    def _batch_varints(spans):
-        starts = np.fromiter(
-            (buf_base[b] + s for b, s, _ in spans), dtype=np.int64, count=nfeat
-        )
-        lens = np.fromiter((e - s for _, s, e in spans), dtype=np.int64, count=nfeat)
+    # flatten feature spans to absolute offsets
+    feat_layer = np.repeat(np.arange(nlayers, dtype=np.int64), counts)
+    lay_base = buf_base[np.asarray(lay_buf, dtype=np.int64)]
+    feat_base = lay_base[feat_layer]
+    fstart = feat_base + np.fromiter(
+        (s for fs in lay_fs for s, _ in fs), dtype=np.int64, count=nfeat
+    )
+    fend = feat_base + np.fromiter(
+        (e for fs in lay_fs for _, e in fs), dtype=np.int64, count=nfeat
+    )
+
+    fid_u, gt_a, tstart, tend, gstart, gend, ferr = _parse_feature_headers(
+        allbuf, fstart, fend
+    )
+
+    # a malformed feature invalidates its whole tile (scalar-path parity)
+    feat_tile = np.asarray(lay_tile, dtype=np.int64)[feat_layer]
+    if ferr.any():
+        for ti in np.unique(feat_tile[ferr]):
+            err_tiles[int(ti)] = "malformed feature message"
+        keep = ~np.isin(feat_tile, feat_tile[ferr])
+        if not keep.any():
+            return empty
+        feat_layer = feat_layer[keep]
+        feat_tile = feat_tile[keep]
+        fid_u, gt_a = fid_u[keep], gt_a[keep]
+        tstart, tend = tstart[keep], tend[keep]
+        gstart, gend = gstart[keep], gend[keep]
+        nfeat = int(feat_layer.size)
+
+    # --- batch varint decode of all geometry + tag streams
+    def _batch_varints(starts: np.ndarray, ends: np.ndarray):
+        lens = ends - starts
         seg = _gather_concat(allbuf, starts, lens)
         vals = pbf.decode_varint_stream(seg) if seg.size else np.empty(0, np.uint64)
         term = (seg & 0x80) == 0
@@ -772,28 +846,57 @@ def decode_tile_rows(blobs: list) -> tuple:
         np.cumsum(nvals, out=span[1:])
         return vals, span
 
-    geom_vals, geom_span = _batch_varints(geomspans)
-    tag_vals, tag_span = _batch_varints(tagspans)
+    geom_vals, geom_span = _batch_varints(gstart, gend)
+    tag_vals, tag_span = _batch_varints(tstart, tend)
 
     xs, ys, part_off_g, feat_part_off = decode_geometries_batch(geom_vals, geom_span)
+    part_off_g32 = part_off_g.astype(np.int32)
 
-    # --- slice per-feature outputs + props join (cheap Python)
+    # per-layer pre-encoded JSON fragments: one dumps per dictionary
+    # entry instead of one dict-dumps per FEATURE (shared dictionaries
+    # amortize across all their features)
+    key_frags = [[_json.dumps(k) for k in ks] for ks in lay_keys]
+    val_frags = [
+        [_json.dumps(v[1], default=str) for v in vs] for vs in lay_vals
+    ]
+
+    tidx = feat_tile.tolist()
+    lnames = [lay_name[l] for l in feat_layer]
+    exts = [lay_ext[l] for l in feat_layer]
+    fids = fid_u.view(np.int64).tolist()
+    gtypes = gt_a.tolist()
+
     xs_list: list[np.ndarray] = []
     ys_list: list[np.ndarray] = []
     off_list: list[np.ndarray] = []
     props_list: list = []
+    tag_pairs = tag_vals.astype(np.int64)
     for f in range(nfeat):
         p0, p1 = int(feat_part_off[f]), int(feat_part_off[f + 1])
         v0 = int(part_off_g[p0]) if p0 < p1 else 0
         v1 = int(part_off_g[p1]) if p0 < p1 else 0
         xs_list.append(xs[v0:v1])
         ys_list.append(ys[v0:v1])
-        off_list.append((part_off_g[p0 : p1 + 1] - v0).astype(np.int32) if p0 < p1 else np.zeros(1, np.int32))
-        keys, values = layer_dicts[featlayer[f]]
+        off_list.append(
+            (part_off_g32[p0 : p1 + 1] - np.int32(v0))
+            if p0 < p1 else np.zeros(1, np.int32)
+        )
+        lid = feat_layer[f]
+        kf = key_frags[lid]
+        vf = val_frags[lid]
         t0, t1 = int(tag_span[f]), int(tag_span[f + 1])
-        props: dict = {}
-        tv = tag_vals[t0:t1]
-        for j in range(0, tv.size - 1, 2):
-            props[keys[int(tv[j])]] = values[int(tv[j + 1])][1]
-        props_list.append(_json.dumps(props, default=str))
+        npairs = (t1 - t0) // 2
+        if npairs == 1:
+            props_list.append(
+                "{%s: %s}" % (kf[tag_pairs[t0]], vf[tag_pairs[t0 + 1]])
+            )
+        elif npairs > 1:
+            frag: dict = {}
+            for j in range(t0, t1 - 1, 2):
+                frag[int(tag_pairs[j])] = int(tag_pairs[j + 1])
+            props_list.append(
+                "{" + ", ".join(f"{kf[k]}: {vf[v]}" for k, v in frag.items()) + "}"
+            )
+        else:
+            props_list.append("{}")
     return (tidx, lnames, exts, fids, gtypes, xs_list, ys_list, off_list, props_list, err_tiles)
