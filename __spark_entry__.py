@@ -764,6 +764,40 @@ def mvt_roundtrip_polys(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tile_pyramid_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A9's tile-pyramid form, ORACLED: per-tile point counts at zoom 4
+    rolled up through zoom 3 and 2 by integer-halving the tile address
+    (x>>1, y>>1 per level) — the parent-tile aggregation every tiling
+    pipeline runs to build lower zooms. One shuffle per level with
+    map-side partial aggregation."""
+    from mvtspark.operators.spatial import assign_tiles
+
+    pts = _event_points(spark, sf)
+    z4 = (
+        assign_tiles(pts, zoom=4)
+        .groupBy("zoom", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    levels = [z4]
+    cur = z4
+    for z in (3, 2):
+        cur = (
+            cur.select(
+                F.lit(z).alias("zoom"),
+                F.shiftright("x", 1).alias("x"),
+                F.shiftright("y", 1).alias("y"),
+                "n_points",
+            )
+            .groupBy("zoom", "x", "y")
+            .agg(F.sum("n_points").alias("n_points"))
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def xyz_cell_keys(spark: SparkSession, sf: str) -> DataFrame:
     """D18 hierarchical cell key (packed Morton tile cell, the grid-
     aligned spatial-join key), ORACLED: the kernel's bit-spread
@@ -921,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": approx_distinct_users,
         "mvt_roundtrip_lines": mvt_roundtrip_lines,
         "mvt_roundtrip_polys": mvt_roundtrip_polys,
+        "tile_pyramid_rollup": tile_pyramid_rollup,
         "xyz_cell_keys": xyz_cell_keys,
         "mvt_clip_roundtrip": mvt_clip_roundtrip,
         "frame_sample": frame_sample,
@@ -1151,6 +1186,21 @@ def oracle_sql() -> dict[str, str]:
                    ELSE x0 + wd END AS px,
               CASE WHEN j <= 1 THEN y0 ELSE y0 + ht END AS py
             FROM c
+        """,
+        "tile_pyramid_rollup": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            z4 AS (SELECT 4 AS zoom,
+                CAST(GREATEST(0, LEAST(15, FLOOR({gx4} / 4096))) AS INT) AS x,
+                CAST(GREATEST(0, LEAST(15, FLOOR({gy4} / 4096))) AS INT) AS y,
+                COUNT(*) AS n_points
+              FROM pts GROUP BY 2, 3),
+            z3 AS (SELECT 3 AS zoom, x // 2 AS x, y // 2 AS y,
+                SUM(n_points) AS n_points FROM z4 GROUP BY 2, 3),
+            z2 AS (SELECT 2 AS zoom, x // 2 AS x, y // 2 AS y,
+                SUM(n_points) AS n_points FROM z3 GROUP BY 2, 3)
+            SELECT zoom, CAST(x AS INT) AS x, CAST(y AS INT) AS y, n_points FROM z4
+            UNION ALL SELECT zoom, CAST(x AS INT), CAST(y AS INT), n_points FROM z3
+            UNION ALL SELECT zoom, CAST(x AS INT), CAST(y AS INT), n_points FROM z2
         """,
         "xyz_cell_keys": f"""
             WITH pts AS ({_EVENT_PTS}),
