@@ -764,6 +764,46 @@ def mvt_roundtrip_polys(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tile_parity_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Cogrouped-map parity diff (§2.9): intact vs deterministically
+    corrupted tile corpus decoded side-by-side; per tile the common /
+    A-only / B-only feature counts are ORACLED from the corruption
+    class — corrupted tiles must lose ALL their features (A-only),
+    intact tiles must agree feature-for-feature."""
+    from mvtspark.sources.tiles import (
+        cogroup_tile_parity, decode_tiles, encode_tiles,
+    )
+
+    o = _t(spark, sf, "orders")
+    feats = o.select(
+        F.lit(2).alias("zoom"),
+        (F.col("o_orderkey") % 4).cast("int").alias("x"),
+        ((F.col("o_orderkey") / 4).cast("long") % 4).cast("int").alias("y"),
+        F.lit(4096).alias("extent"),
+        F.col("o_orderkey").alias("feature_id"),
+        F.lit(1).alias("geom_type"),
+        F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("part_offsets"),
+        F.array(F.col("o_orderkey") * 7919 % 4096).alias("xs"),
+        F.array(F.col("o_orderkey") * 104729 % 4096).alias("ys"),
+        F.to_json(F.struct(F.col("o_orderstatus").alias("status"))).alias("props"),
+    )
+    tiles = encode_tiles(feats, layer_name="orders")
+    cls = F.pmod(F.col("x") * 4 + F.col("y"), F.lit(5))
+    mvt = F.col("mvt")
+    corrupted = (
+        F.when(cls == 1, F.substring(mvt, 1, 8))
+        .when(cls == 2, F.concat(F.lit(b"\x1f\x8b"), mvt))
+        .when(cls == 3, F.concat(F.lit(b"\x00"), F.substring(mvt, 2, 1 << 30)))
+        .when(cls == 4, F.concat(mvt, F.lit(b"\x07")))
+        .otherwise(mvt)
+    )
+    a = decode_tiles(tiles.select("zoom", "x", "y", "mvt"))
+    b = decode_tiles(
+        tiles.select("zoom", "x", "y", corrupted.alias("mvt")), validate=True
+    )
+    return cogroup_tile_parity(a, b)
+
+
 def tile_pyramid_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """A9's tile-pyramid form, ORACLED: per-tile point counts at zoom 4
     rolled up through zoom 3 and 2 by integer-halving the tile address
@@ -955,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": approx_distinct_users,
         "mvt_roundtrip_lines": mvt_roundtrip_lines,
         "mvt_roundtrip_polys": mvt_roundtrip_polys,
+        "tile_parity_diff": tile_parity_diff,
         "tile_pyramid_rollup": tile_pyramid_rollup,
         "xyz_cell_keys": xyz_cell_keys,
         "mvt_clip_roundtrip": mvt_clip_roundtrip,
@@ -1186,6 +1227,19 @@ def oracle_sql() -> dict[str, str]:
                    ELSE x0 + wd END AS px,
               CASE WHEN j <= 1 THEN y0 ELSE y0 + ht END AS py
             FROM c
+        """,
+        "tile_parity_diff": """
+            WITH t AS (SELECT CAST(o_orderkey % 4 AS INT) AS x,
+                CAST(CAST(FLOOR(o_orderkey / 4) AS BIGINT) % 4 AS INT) AS y,
+                COUNT(*) AS n
+              FROM orders GROUP BY 1, 2)
+            SELECT 2 AS zoom, x, y,
+              CAST(CASE WHEN (x*4 + y) % 5 = 0 THEN n ELSE 0 END AS BIGINT)
+                AS n_common,
+              CAST(CASE WHEN (x*4 + y) % 5 = 0 THEN 0 ELSE n END AS BIGINT)
+                AS n_only_a,
+              CAST(0 AS BIGINT) AS n_only_b
+            FROM t
         """,
         "tile_pyramid_rollup": f"""
             WITH pts AS ({_EVENT_PTS}),

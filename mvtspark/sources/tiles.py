@@ -173,6 +173,48 @@ def decode_tiles(tiles: DataFrame, validate: bool = False) -> DataFrame:
     return tiles.mapInPandas(_decode, schema=FEATURES_SCHEMA)
 
 
+def cogroup_tile_parity(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-tile parity diff via COGROUPED applyInPandas (SURVEY §2.9's
+    cogrouped-map surface: ours-vs-oracle comparison per tile): decoded
+    feature sets of two pipelines are matched within each (zoom, x, y)
+    group on (feature_id, first vertex) and the per-tile counts of
+    common / A-only / B-only features are emitted. One shuffle per side
+    keyed by the tile address; groups never leave their executor."""
+
+    def _sig(pdf: pd.DataFrame) -> set:
+        out = set()
+        for r in pdf.itertuples(index=False):
+            if r.decode_error is not None:
+                continue
+            x0 = int(r.xs[0]) if r.xs is not None and len(r.xs) else -1
+            y0 = int(r.ys[0]) if r.ys is not None and len(r.ys) else -1
+            out.add((int(r.feature_id), x0, y0))
+        return out
+
+    def _diff(key: tuple, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
+        sa, sb = _sig(pa), _sig(pb)
+        return pd.DataFrame(
+            {
+                "zoom": [key[0]], "x": [key[1]], "y": [key[2]],
+                "n_common": [len(sa & sb)],
+                "n_only_a": [len(sa - sb)],
+                "n_only_b": [len(sb - sa)],
+            }
+        )
+
+    cols = ["zoom", "x", "y", "feature_id", "xs", "ys", "decode_error"]
+    return (
+        a.select(*cols)
+        .groupBy("zoom", "x", "y")
+        .cogroup(b.select(*cols).groupBy("zoom", "x", "y"))
+        .applyInPandas(
+            _diff,
+            schema="zoom int, x int, y int, n_common long, "
+                   "n_only_a long, n_only_b long",
+        )
+    )
+
+
 def clip_features(features: DataFrame, buffer: int = 0) -> DataFrame:
     """Clip decoded feature geometries to the tile rect
     ``[-buffer, extent+buffer]^2`` — the engine form of the reference's
