@@ -141,11 +141,14 @@ def broadcast_rings(
     # Arrow-native build: list-array offsets/values come out as flat
     # numpy arrays directly — zero per-ring Python, O(n) vectorized.
     tbl = tile_polys.select(*key_cols, "ring_x", "ring_y").toArrow()
-    keys = (
-        (tbl.column(key_cols[0]).to_numpy().astype(np.int64) << 58)
-        | (tbl.column(key_cols[1]).to_numpy().astype(np.int64) << 29)
-        | tbl.column(key_cols[2]).to_numpy().astype(np.int64)
-    )
+    zc = tbl.column(key_cols[0]).to_numpy().astype(np.int64)
+    xc = tbl.column(key_cols[1]).to_numpy().astype(np.int64)
+    yc = tbl.column(key_cols[2]).to_numpy().astype(np.int64)
+    # packed key layout: zoom<<58 | x<<29 | y — valid for zoom <= 28
+    # (x, y < 2^29); fail loudly instead of silently colliding keys
+    if zc.size and (int(zc.max()) > 28 or int(xc.max()) >= 1 << 29 or int(yc.max()) >= 1 << 29):
+        raise ValueError("broadcast_rings packed key supports zoom <= 28")
+    keys = (zc << 58) | (xc << 29) | yc
     rx = tbl.column("ring_x").combine_chunks()
     ry = tbl.column("ring_y").combine_chunks()
     offsets = rx.offsets.to_numpy().astype(np.int64)
