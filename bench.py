@@ -132,7 +132,7 @@ def spatial_core_job(spark, points_path: str, n: int):
     pipeline (synth → D19 assign → J4 broadcast PIP → A7 salted agg) but
     the fact rows are synthesized inside the map tasks instead of read
     from parquet — isolating the ENGINE's scaling from the single-box
-    storage/memory-bus ceiling (BENCH.md §bandwidth). Only the ring
+    storage/memory-bus ceiling (see BENCH.md saturation analysis). Only the ring
     catalog comes from disk (built once, cached)."""
     from pyspark.sql import functions as F
 
