@@ -235,3 +235,21 @@ def test_knn_ring_join(spark, images):
         d2.sort(key=lambda t: (t[1], t[0]))
         expect = sorted((sid, round(d, 9)) for sid, d in d2[:2])
         assert [p[0] for p in pairs] == [e[0] for e in expect]
+
+
+def test_broadcast_rings_rejects_zoom_past_packed_key_range(spark):
+    from mvtspark.functions.udfs import broadcast_rings
+
+    ring_x = [0, 10, 10, 0, 0]
+    ring_y = [0, 0, 10, 10, 0]
+    ok = spark.createDataFrame(
+        [(28, (1 << 28) - 1, (1 << 28) - 1, ring_x, ring_y)],
+        "zoom int, x long, y long, ring_x array<long>, ring_y array<long>",
+    )
+    assert broadcast_rings(spark, ok) is not None  # zoom 28 is the last valid level
+    bad = spark.createDataFrame(
+        [(29, 1 << 28, 1 << 28, ring_x, ring_y)],
+        "zoom int, x long, y long, ring_x array<long>, ring_y array<long>",
+    )
+    with pytest.raises(ValueError, match="zoom <= 28"):
+        broadcast_rings(spark, bad)
