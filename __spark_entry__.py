@@ -1148,8 +1148,9 @@ def oracle_sql() -> dict[str, str]:
               FROM e),
             s AS (
               SELECT user_id, us,
-                SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_id
               FROM g)
             SELECT user_id, session_id, COUNT(*) AS n_events,
                    MIN(us) AS start_us, MAX(us) AS end_us
@@ -1249,9 +1250,9 @@ def oracle_sql() -> dict[str, str]:
                 COUNT(*) AS n_points
               FROM pts GROUP BY 2, 3),
             z3 AS (SELECT 3 AS zoom, x // 2 AS x, y // 2 AS y,
-                SUM(n_points) AS n_points FROM z4 GROUP BY 2, 3),
+                CAST(SUM(n_points) AS BIGINT) AS n_points FROM z4 GROUP BY 2, 3),
             z2 AS (SELECT 2 AS zoom, x // 2 AS x, y // 2 AS y,
-                SUM(n_points) AS n_points FROM z3 GROUP BY 2, 3)
+                CAST(SUM(n_points) AS BIGINT) AS n_points FROM z3 GROUP BY 2, 3)
             SELECT zoom, CAST(x AS INT) AS x, CAST(y AS INT) AS y, n_points FROM z4
             UNION ALL SELECT zoom, CAST(x AS INT), CAST(y AS INT), n_points FROM z3
             UNION ALL SELECT zoom, CAST(x AS INT), CAST(y AS INT), n_points FROM z2
@@ -1264,10 +1265,10 @@ def oracle_sql() -> dict[str, str]:
                 CAST(GREATEST(0, LEAST(15, FLOOR(gy / 4096))) AS BIGINT) AS y
               FROM g)
             SELECT event_id,
-              1152921504606846976 + list_sum([
+              CAST(1152921504606846976 + list_sum([
                 ((x // (1 << k)) % 2) * (1 << (2*k))
                 + ((y // (1 << k)) % 2) * (1 << (2*k + 1))
-                for k in range(0, 4)]) AS cell
+                for k in range(0, 4)]) AS BIGINT) AS cell
             FROM t
         """,
         "mvt_clip_roundtrip": """
@@ -1525,7 +1526,7 @@ def oracle_sql() -> dict[str, str]:
             j AS (SELECT bucket_id, event_id FROM pxs JOIN b
                   ON px >= bucket_id*256 AND px <= bucket_id*256 + 255)
             SELECT bucket_id, COUNT(*) AS n_events,
-              SUM(event_id) AS sum_event_id
+              CAST(SUM(event_id) AS BIGINT) AS sum_event_id
             FROM j GROUP BY 1
         """,
         "asof_join_clicks": """

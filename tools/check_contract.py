@@ -1,7 +1,11 @@
 """Local emulation of the driver's correctness gate: run every
 ``queries()`` entry on Spark at sf0.01, run the matching ``oracle_sql()``
 in DuckDB on the same parquet, compare row count + sorted column names +
-an order-insensitive multiset of normalized values.
+an order-insensitive multiset of normalized values + per-column Arrow
+TYPES (the driver's value hash is type-sensitive: an uncast DuckDB
+integer SUM is HUGEINT/decimal128 while Spark emits int64, which
+hash-mismatches even though str()-normalized values agree — round 1
+shipped 4 such failures because this script only compared str() values).
 
 Usage: python tools/check_contract.py [only_query_name ...]
 """
@@ -45,6 +49,42 @@ def normalize(rows, cols):
     return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
 
 
+def canon_type(t):
+    """Collapse Arrow type spellings that the driver's compare treats as
+    equal while keeping decimal-ness distinct — DuckDB HUGEINT surfaces
+    as decimal128(38,0) and MUST NOT equal int64.
+
+    Calibrated against CORRECTNESS_r01.json: queries whose rank column
+    was Spark int32 vs oracle int64 HASH-MATCHED in the driver, while
+    int64-vs-HUGEINT ones failed — so integer widths collapse to one
+    class, int-vs-decimal does not."""
+    import pyarrow.types as pt
+
+    if pt.is_dictionary(t):
+        return canon_type(t.value_type)
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_string(t) or pt.is_large_string(t) or str(t) == "string_view":
+        return "string"
+    if pt.is_binary(t) or pt.is_large_binary(t) or str(t) == "binary_view":
+        return "binary"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_list(t) or pt.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
+
+
+def type_problems(s_tbl, o_tbl):
+    s_types = {f.name.lower(): canon_type(f.type) for f in s_tbl.schema}
+    o_types = {f.name.lower(): canon_type(f.type) for f in o_tbl.schema}
+    out = []
+    for c in sorted(set(s_types) & set(o_types)):
+        if s_types[c] != o_types[c]:
+            out.append(f"type[{c}]: spark={s_types[c]} oracle={o_types[c]}")
+    return out
+
+
 def main():
     only = set(sys.argv[1:])
     import __spark_entry__ as entrymod
@@ -73,6 +113,7 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            s_tbl = sdf.toArrow()
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
@@ -87,7 +128,8 @@ def main():
         try:
             rel = con.sql(oracles[name])
             ocols = rel.columns
-            orows = rel.fetchall()
+            o_tbl = rel.fetch_arrow_table()
+            orows = [tuple(r) for r in con.sql(oracles[name]).fetchall()]
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL  {name}: oracle error: {e}")
@@ -97,6 +139,7 @@ def main():
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        problems.extend(type_problems(s_tbl, o_tbl))
         if not problems:
             a = normalize(srows, scols)
             b = normalize(orows, ocols)
