@@ -415,10 +415,12 @@ def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 def minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle → 64-perm minhash →
-    16-band bucket equi-join), ORACLED end-to-end: the shingle hash is
-    md5-low-64 (DuckDB md5_number_upper) and band keys are the raw
-    signature slices, so the oracle recomputes identical signatures,
-    bands, candidate pairs and Jaccard estimates in pure SQL."""
+    16-band bucket equi-join), ORACLED end-to-end: the shingle hash is a
+    polynomial mod-2^64 fold over token hashes (kernels/strhash.py —
+    DuckDB recomputes it with list_reduce over split(w,'') code points)
+    and band keys are the raw signature slices, so the oracle recomputes
+    identical signatures, bands, candidate pairs and Jaccard estimates
+    in pure SQL."""
     from mvtspark.operators.dedup import minhash_lsh_dedup
 
     # the test-scale doc table is one parquet file = one partition;
@@ -432,8 +434,9 @@ def minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 3 (4×16-bit band
-    blocking; pigeonhole-exact candidate recall), ORACLED: md5-based
-    token hash lets DuckDB rebuild the 64-bit signatures bit-for-bit."""
+    blocking; pigeonhole-exact candidate recall), ORACLED: the
+    polynomial token hash (kernels/strhash.py) lets DuckDB rebuild the
+    64-bit signatures bit-for-bit."""
     from mvtspark.operators.dedup import simhash_dedup
 
     d = _t(spark, sf, "documents").repartition(
@@ -886,6 +889,67 @@ def mvt_clip_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def mvt_typed_props_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §1.3 typed 7-way property union END-TO-END at DataFrame
+    level, ORACLED: per-order properties of ALL seven Value types
+    (string/float/double/int/uint/sint/bool) are built as native
+    columns, encoded through the typed dictionary path, decoded back via
+    decode_tiles(typed_props=True), and the exploded (key, tag, member)
+    rows hash-match a relational recomputation. Float32/Double/Int64
+    type identity survives the wire — the JSON ``props`` string can't
+    carry it (ref 7-way switch: VectorTileReader.cs:166-214)."""
+    from mvtspark.sources.tiles import decode_tiles, encode_tiles
+
+    def _u(k, tag, **kw):
+        members = {
+            "s": "string", "f": "float", "d": "double",
+            "i": "long", "u": "long", "si": "long", "b": "boolean",
+        }
+        fields = [F.lit(k).alias("k"), F.lit(tag).alias("tag")]
+        for m, typ in members.items():
+            c = kw.get(m)
+            fields.append(
+                (c if c is not None else F.lit(None).cast(typ)).alias(m)
+            )
+        return F.struct(*fields)
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") % 7 == 0)
+    key = F.col("o_orderkey")
+    feats = o.select(
+        F.lit(1).alias("zoom"),
+        (key % 2).cast("int").alias("x"),
+        ((key / 2).cast("long") % 2).cast("int").alias("y"),
+        F.lit(4096).alias("extent"),
+        key.alias("feature_id"),
+        F.lit(1).alias("geom_type"),
+        F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("part_offsets"),
+        F.array(key * 7919 % 4096).alias("xs"),
+        F.array(key * 104729 % 4096).alias("ys"),
+        F.array(
+            _u("s", 1, s=F.col("o_orderstatus")),
+            _u("f", 2, f=((key % 1000) * 0.25).cast("float")),
+            _u("d", 3, d=(key * 0.5).cast("double")),
+            _u("i", 4, i=(-(key % 97) - 1).cast("long")),
+            _u("u", 5, u=key.cast("long")),
+            _u("si", 6, si=((key % 50) - 25).cast("long")),
+            _u("b", 7, b=(key % 2 == 0)),
+        ).alias("props_t"),
+    )
+    tiles = encode_tiles(feats, layer_name="typed")
+    dec = decode_tiles(tiles.select("zoom", "x", "y", "mvt"), typed_props=True)
+    p = F.col("p")
+    return (
+        dec.where(F.col("decode_error").isNull())
+        .select("feature_id", F.explode("props_t").alias("p"))
+        .select(
+            "feature_id",
+            p.k.alias("k"), p.tag.alias("tag"), p.s.alias("s"),
+            p.f.alias("f"), p.d.alias("d"), p.i.alias("i"),
+            p.u.alias("u"), p.si.alias("si"), p.b.alias("b"),
+        )
+    )
+
+
 # ---------------------------------------------------------- multimodal ops
 
 def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -999,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_rollup": tile_pyramid_rollup,
         "xyz_cell_keys": xyz_cell_keys,
         "mvt_clip_roundtrip": mvt_clip_roundtrip,
+        "mvt_typed_props_roundtrip": mvt_typed_props_roundtrip,
         "frame_sample": frame_sample,
         "thumbnail_resize": thumbnail_resize,
         "audio_window_features": audio_window_features,
@@ -1035,15 +1100,32 @@ def oracle_sql() -> dict[str, str]:
     n = (1 << 4) - 1
     gx4, gy4 = _merc_xy(4)
     # the minhash permutation constants — SAME generator invocation as the
-    # Spark UDF (operators/dedup.py::_shingle_minhash_udf), inlined as SQL
-    # literals so DuckDB recomputes identical signatures
+    # Spark UDF (operators/dedup.py::_shingle_minhash_udf, odd-forced
+    # multiply-shift family), inlined as SQL literals so DuckDB
+    # recomputes identical signatures
     _A = _np.random.default_rng(42).integers(1, 2**61, size=64, dtype=_np.int64)
-    _B = _np.random.default_rng(43).integers(1, 2**61, size=64, dtype=_np.int64)
     perms_values = ", ".join(
-        f"({k}, {int(a)}, {int(b)})" for k, (a, b) in enumerate(zip(_A, _B))
+        f"({k}, {int(a) | 1})" for k, a in enumerate(_A)
     )
     u64 = "CAST('18446744073709551616' AS HUGEINT)"
     i64max1 = "CAST('9223372036854775808' AS HUGEINT)"
+    # polynomial token/shingle hash constants — MUST match
+    # mvtspark/kernels/strhash.py (TOKEN_SEED/TOKEN_MULT/SHINGLE_*)
+    from mvtspark.kernels.strhash import (
+        SHINGLE_MULT as _SMUL,
+        SHINGLE_SEED as _SSEED,
+        TOKEN_MULT as _TMUL,
+        TOKEN_SEED as _TSEED,
+    )
+
+    # token hash: fold code points; DuckDB split('','') yields [''] whose
+    # unicode() is -1, so the empty token is pinned to the bare seed
+    # (matching the kernel's virtual-empty-token rule)
+    tok_hash_sql = f"""list_transform(t, w ->
+                CASE WHEN w = '' THEN CAST({_TSEED} AS HUGEINT) ELSE
+                  list_reduce(list_prepend(CAST({_TSEED} AS HUGEINT),
+                    list_transform(split(w, ''), c -> CAST(unicode(c) AS HUGEINT))),
+                    (acc, c) -> (acc * {_TMUL} + c) % {u64}) END)"""
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1281,6 +1363,29 @@ def oracle_sql() -> dict[str, str]:
               o_orderstatus AS status
             FROM orders
         """,
+        "mvt_typed_props_roundtrip": """
+            WITH o AS (SELECT o_orderkey AS fid, o_orderstatus AS st
+                       FROM orders WHERE o_orderkey % 7 = 0),
+            n AS (SELECT CAST(NULL AS VARCHAR) s, CAST(NULL AS FLOAT) f,
+                         CAST(NULL AS DOUBLE) d, CAST(NULL AS BIGINT) i,
+                         CAST(NULL AS BIGINT) u, CAST(NULL AS BIGINT) si,
+                         CAST(NULL AS BOOLEAN) b)
+            SELECT fid AS feature_id, 's' AS k, CAST(1 AS INT) AS tag,
+              st AS s, n.f, n.d, n.i, n.u, n.si, n.b FROM o, n
+            UNION ALL SELECT fid, 'f', CAST(2 AS INT), n.s,
+              CAST((fid % 1000) * 0.25 AS FLOAT), n.d, n.i, n.u, n.si, n.b
+              FROM o, n
+            UNION ALL SELECT fid, 'd', CAST(3 AS INT), n.s, n.f,
+              CAST(fid * 0.5 AS DOUBLE), n.i, n.u, n.si, n.b FROM o, n
+            UNION ALL SELECT fid, 'i', CAST(4 AS INT), n.s, n.f, n.d,
+              CAST(-(fid % 97) - 1 AS BIGINT), n.u, n.si, n.b FROM o, n
+            UNION ALL SELECT fid, 'u', CAST(5 AS INT), n.s, n.f, n.d, n.i,
+              CAST(fid AS BIGINT), n.si, n.b FROM o, n
+            UNION ALL SELECT fid, 'si', CAST(6 AS INT), n.s, n.f, n.d, n.i,
+              n.u, CAST((fid % 50) - 25 AS BIGINT), n.b FROM o, n
+            UNION ALL SELECT fid, 'b', CAST(7 AS INT), n.s, n.f, n.d, n.i,
+              n.u, n.si, fid % 2 = 0 FROM o, n
+        """,
         "image_roundtrip_invariants": """
             SELECT printf('img%012d', i) AS image_id,
               CASE WHEN i % 3 = 0 THEN 'png' ELSE 'raw' END AS fmt,
@@ -1424,22 +1529,23 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rank <= 5
         """,
         "minhash_lsh": f"""
-            WITH perms(k, a, b) AS (VALUES {perms_values}),
+            WITH perms(k, a) AS (VALUES {perms_values}),
             toks AS (SELECT doc_id,
                 regexp_split_to_array(trim(lower(text)), '\\s+') AS t
               FROM documents),
-            sh AS (SELECT doc_id,
-                CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                  ELSE list_distinct([array_to_string(t[i:i+2], ' ')
-                                      for i in range(1, len(t)-2+1)]) END AS shingles
-              FROM toks),
+            th AS (SELECT doc_id, {tok_hash_sql} AS h FROM toks),
             hs AS (SELECT doc_id,
-                list_transform(shingles, s -> md5_number_upper(s)) AS h
-              FROM sh),
+                CASE WHEN len(h) < 3 THEN
+                  [list_reduce(list_prepend(CAST({_SSEED} AS HUGEINT), h),
+                     (a, x) -> (a * {_SMUL} + x) % {u64})]
+                ELSE
+                  [list_reduce(list_prepend(CAST({_SSEED} AS HUGEINT), h[i:i+2]),
+                     (a, x) -> (a * {_SMUL} + x) % {u64})
+                   for i in range(1, len(h)-2+1)] END AS h
+              FROM th),
             lanes AS (SELECT doc_id, k,
                 list_min(list_transform(h, x ->
-                  (CAST(a AS HUGEINT) * CAST(x AS HUGEINT)
-                   + CAST(b AS HUGEINT)) % {u64})) AS lane
+                  (CAST(a AS HUGEINT) * CAST(x AS HUGEINT)) % {u64})) AS lane
               FROM hs, perms),
             sigs AS (SELECT doc_id,
                 list(CAST(CASE WHEN lane >= {i64max1} THEN lane - {u64}
@@ -1460,10 +1566,11 @@ def oracle_sql() -> dict[str, str]:
             FROM est WHERE ej >= 0.7
         """,
         "simhash_pairs": f"""
-            WITH toks AS (SELECT doc_id,
-                unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            WITH toks0 AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS t
               FROM documents),
-            th AS (SELECT doc_id, md5_number_upper(w) AS h FROM toks),
+            th0 AS (SELECT doc_id, {tok_hash_sql} AS hl FROM toks0),
+            th AS (SELECT doc_id, unnest(hl) AS h FROM th0),
             bits AS (SELECT doc_id, j,
                 SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
               FROM th CROSS JOIN (SELECT unnest(range(0,64)) AS j) jj

@@ -470,6 +470,10 @@ def encode_tile_rows(
     layer_name: str,
     extents: np.ndarray,       # int64 per tile
     version: int = 2,
+    props_typed: list | None = None,  # per-feature list of tagged-union
+    # structs {k, tag, s, f, d, i, u, si, b}; overrides props_json and
+    # preserves Float/Double/UInt/SInt/Bool type identity that a JSON
+    # round-trip cannot (SURVEY §1.3; VectorTileReader.cs:166-214)
 ) -> list[bytes]:
     """Encode features (sorted + grouped by tile via tile_bounds) into one
     MVT blob per tile. Geometry/varint/assembly is batch-vectorized across
@@ -514,8 +518,25 @@ def encode_tile_rows(
         keys: list[str] = []
         values: list[tuple[int, object]] = []
         for i in range(int(tile_bounds[t]), int(tile_bounds[t + 1])):
-            pj = props_json[i]
             tags: list[int] = []
+            if props_typed is not None:
+                for e in props_typed[i] if props_typed[i] is not None else ():
+                    k = e["k"]
+                    ki = kidx.get(k)
+                    if ki is None:
+                        ki = kidx[k] = len(keys)
+                        keys.append(k)
+                    tag = int(e["tag"])
+                    v = e.get(TAG_FIELD.get(tag, "s"))
+                    tv = (tag, bool(v) if tag == mk.V_BOOL else v)
+                    vi = vidx.get(tv)
+                    if vi is None:
+                        vi = vidx[tv] = len(values)
+                        values.append(tv)
+                    tags += (ki, vi)
+                tags_parts.append(tags)
+                continue
+            pj = props_json[i]
             if pj:
                 for k, v in _json.loads(pj).items():
                     ki = kidx.get(k)
@@ -673,6 +694,11 @@ def _parse_feature_headers(
         if isl.any():
             sl, p4, e2 = _vec_varint_at(allbuf, p2, isl, end)
             err |= e2
+            # a crafted length >= 2^63 would go NEGATIVE after the int64
+            # cast, making ld_end < p4 evade the `newp > end` check and
+            # index from the end of allbuf — invalidate just that tile
+            err |= isl & (sl > np.uint64(allbuf.size))
+            isl &= ~err
             ld_end = p4 + sl.astype(np.int64)
             m = isl & (tag == 2)
             tstart[m] = p4[m]
@@ -695,12 +721,31 @@ def _parse_feature_headers(
     return fid, gt, tstart, tend, gstart, gend, err
 
 
-def decode_tile_rows(blobs: list) -> tuple:
+#: value-union tag → struct field name (SURVEY §1.3 typed property union;
+#: ref 7-way switch: VectorTileReader.cs:166-214)
+TAG_FIELD = {1: "s", 2: "f", 3: "d", 4: "i", 5: "u", 6: "si", 7: "b"}
+
+
+def typed_value_struct(tag: int, v: object) -> dict:
+    """One dictionary VALUE as the tagged 7-way union struct — every
+    member None except the one selected by ``tag`` (lossless type
+    identity that a JSON props string cannot carry)."""
+    e = {"tag": tag, "s": None, "f": None, "d": None,
+         "i": None, "u": None, "si": None, "b": None}
+    e[TAG_FIELD.get(tag, "s")] = v
+    return e
+
+
+def decode_tile_rows(blobs: list, typed_props: bool = False) -> tuple:
     """Decode a batch of tile blobs → flat per-feature columns.
 
     Returns (tile_idx, layer_names, extents, feature_ids, geom_types,
     xs_list, ys_list, off_list, props_list, err_tiles) where err_tiles is
-    {tile_idx: error_str} for undecodable tiles (lenient mode).
+    {tile_idx: error_str} for undecodable tiles (lenient mode). With
+    ``typed_props=True`` an 11th element is appended: per-feature
+    ``list[dict]`` rows of the tagged union struct
+    (k, tag, s, f, d, i, u, si, b) preserving Float/Double/UInt/SInt/Bool
+    type identity end-to-end (VectorTileReader.cs:166-214).
 
     Tile/layer structure walk is per-tile Python (few iterations);
     feature headers, varint streams and geometry are batch-vectorized
@@ -792,6 +837,8 @@ def decode_tile_rows(blobs: list) -> tuple:
     )
     nfeat = int(counts.sum())
     empty = ([], [], [], [], [], [], [], [], [], err_tiles)
+    if typed_props:
+        empty = empty + ([],)
     if nfeat == 0:
         return empty
 
@@ -859,6 +906,12 @@ def decode_tile_rows(blobs: list) -> tuple:
     val_frags = [
         [_json.dumps(v[1], default=str) for v in vs] for vs in lay_vals
     ]
+    # typed union: one struct template per dictionary VALUE, shared
+    # across all features that reference it (then per-pair dict merge)
+    val_structs = (
+        [[typed_value_struct(t, v) for t, v in vs] for vs in lay_vals]
+        if typed_props else None
+    )
 
     tidx = feat_tile.tolist()
     lnames = [lay_name[l] for l in feat_layer]
@@ -870,6 +923,7 @@ def decode_tile_rows(blobs: list) -> tuple:
     ys_list: list[np.ndarray] = []
     off_list: list[np.ndarray] = []
     props_list: list = []
+    props_t_list: list = []
     tag_pairs = tag_vals.astype(np.int64)
     for f in range(nfeat):
         p0, p1 = int(feat_part_off[f]), int(feat_part_off[f + 1])
@@ -899,4 +953,12 @@ def decode_tile_rows(blobs: list) -> tuple:
             )
         else:
             props_list.append("{}")
-    return (tidx, lnames, exts, fids, gtypes, xs_list, ys_list, off_list, props_list, err_tiles)
+        if typed_props:
+            ks = lay_keys[lid]
+            vt = val_structs[lid]
+            props_t_list.append([
+                {"k": ks[int(tag_pairs[j])], **vt[int(tag_pairs[j + 1])]}
+                for j in range(t0, t1 - 1, 2)
+            ])
+    out = (tidx, lnames, exts, fids, gtypes, xs_list, ys_list, off_list, props_list, err_tiles)
+    return out + (props_t_list,) if typed_props else out

@@ -143,9 +143,16 @@ def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:
 
 
 def _fake_frame(video_id: str, frame_idx: int) -> int:
-    from mvtspark.operators.dedup import hash_str64
+    """Deterministic fake frame id: md5-low-64 little-endian (DuckDB
+    ``md5_number_upper``), masked to non-negative int64. Deliberately NOT
+    the dedup polynomial hash — this is a stub-codec constant at a few
+    rows per video, not a throughput path, and the oracle pins md5."""
+    import hashlib
 
-    return hash_str64(f"{video_id}:{frame_idx}") & 0x7FFFFFFFFFFFFFFF
+    h = int.from_bytes(
+        hashlib.md5(f"{video_id}:{frame_idx}".encode()).digest()[:8], "little"
+    )
+    return h & 0x7FFFFFFFFFFFFFFF
 
 
 def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:

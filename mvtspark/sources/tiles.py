@@ -32,6 +32,13 @@ FEATURES_SCHEMA = (
     "props string, decode_error string"
 )
 
+#: SURVEY §1.3 typed 7-way property union (ref: VectorTileReader.cs:166-214)
+#: — one row per (key, tagged value); exactly one member non-null per tag.
+PROPS_T_FIELD = (
+    "props_t array<struct<k: string, tag: int, s: string, f: float, "
+    "d: double, i: long, u: long, si: long, b: boolean>>"
+)
+
 TILE_SCHEMA = "zoom int, x int, y int, mvt binary"
 
 
@@ -83,7 +90,9 @@ def tile_polygons(
     )
 
 
-def decode_tiles(tiles: DataFrame, validate: bool = False) -> DataFrame:
+def decode_tiles(
+    tiles: DataFrame, validate: bool = False, typed_props: bool = False
+) -> DataFrame:
     """tiles (zoom,x,y,mvt) → one row per feature (lenient mode puts the
     error in ``decode_error`` instead of failing the job — engine-side
     replacement for the reference's throw-on-invalid, SURVEY §1.3).
@@ -92,19 +101,27 @@ def decode_tiles(tiles: DataFrame, validate: bool = False) -> DataFrame:
     per Arrow batch (varints + geometry decoded for ALL features at once);
     ``validate=True`` routes through the strict per-tile kernel
     (kernels.mvt.decode_tile) which enforces the full reference
-    validation suite."""
+    validation suite. ``typed_props=True`` appends a ``props_t`` column —
+    the SURVEY §1.3 tagged 7-way union preserving Float/Double/UInt/SInt/
+    Bool type identity (VectorTileReader.cs:166-214) that the JSON
+    ``props`` string loses; opt-in so the hot path pays nothing."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         from mvtspark.kernels import geom as gk
         from mvtspark.kernels import mvt as mk
-        from mvtspark.kernels.mvt_batch import decode_tile_rows
+        from mvtspark.kernels.mvt_batch import (
+            decode_tile_rows,
+            typed_value_struct,
+        )
 
         cols = [
             "zoom", "x", "y", "layer", "extent", "feature_id", "geom_type",
             "part_offsets", "xs", "ys", "props", "decode_error",
         ]
+        if typed_props:
+            cols = cols + ["props_t"]
         for pdf in batches:
             if validate:
                 # strict mode: per-tile kernel with the full check suite
@@ -117,24 +134,38 @@ def decode_tiles(tiles: DataFrame, validate: bool = False) -> DataFrame:
                         out.append(dict(base, layer=None, extent=None,
                                         feature_id=None, geom_type=None,
                                         part_offsets=None, xs=None, ys=None,
-                                        props=None, decode_error=str(e)))
+                                        props=None, props_t=None,
+                                        decode_error=str(e)))
                         continue
                     for lname, layer in layers.items():
+                        vstructs = (
+                            [typed_value_struct(t, v) for t, v in layer.values]
+                            if typed_props else None
+                        )
                         for f in layer.features:
                             xs, ys, off = gk.decode_commands(f.geometry, f.geom_type)
+                            pt = None
+                            if typed_props:
+                                t_ = f.tags
+                                pt = [
+                                    {"k": layer.keys[int(t_[j])], **vstructs[int(t_[j + 1])]}
+                                    for j in range(0, len(t_) - 1, 2)
+                                ]
                             out.append(dict(
                                 base, layer=lname, extent=layer.extent,
                                 feature_id=int(f.id), geom_type=int(f.geom_type),
                                 part_offsets=off.astype(np.int32), xs=xs, ys=ys,
                                 props=json.dumps(layer.properties(f), default=str),
-                                decode_error=None))
+                                props_t=pt, decode_error=None))
                 yield pd.DataFrame(out, columns=cols)
                 continue
 
             blobs = [bytes(b) for b in pdf["mvt"]]
+            decoded = decode_tile_rows(blobs, typed_props=typed_props)
             (tix, lnames, exts, fids, gts, xsl, ysl, offl, props, errs) = (
-                decode_tile_rows(blobs)
+                decoded[:10]
             )
+            props_t = decoded[10] if typed_props else None
             zoom_a = pdf["zoom"].to_numpy()
             x_a = pdf["x"].to_numpy()
             y_a = pdf["y"].to_numpy()
@@ -155,6 +186,8 @@ def decode_tiles(tiles: DataFrame, validate: bool = False) -> DataFrame:
                     "decode_error": None,
                 }
             )
+            if typed_props:
+                out_pdf["props_t"] = props_t
             if errs:  # lenient: one error row per undecodable tile
                 err_rows = pd.DataFrame(
                     {
@@ -163,14 +196,15 @@ def decode_tiles(tiles: DataFrame, validate: bool = False) -> DataFrame:
                         "y": y_a[list(errs)],
                         "layer": None, "extent": None, "feature_id": None,
                         "geom_type": None, "part_offsets": None, "xs": None,
-                        "ys": None, "props": None,
+                        "ys": None, "props": None, "props_t": None,
                         "decode_error": list(errs.values()),
                     }
                 )
                 out_pdf = pd.concat([out_pdf, err_rows], ignore_index=True)
             yield out_pdf[cols]
 
-    return tiles.mapInPandas(_decode, schema=FEATURES_SCHEMA)
+    schema = FEATURES_SCHEMA + (", " + PROPS_T_FIELD if typed_props else "")
+    return tiles.mapInPandas(_decode, schema=schema)
 
 
 def cogroup_tile_parity(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -305,9 +339,12 @@ def encode_tiles(
             list(pdf["part_offsets"]),
             list(pdf["xs"]),
             list(pdf["ys"]),
-            list(pdf["props"]),
+            list(pdf["props"]) if "props" in pdf.columns else [None] * n,
             layer_name,
             extents,
+            # typed union beats JSON when both are present: it carries
+            # Float/Double/UInt/SInt/Bool identity losslessly
+            props_typed=list(pdf["props_t"]) if "props_t" in pdf.columns else None,
         )
         return pd.DataFrame(
             {
