@@ -335,8 +335,13 @@ def mvt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def flagship_mvt_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    """Whole north-star loop at test scale (rows-only check; kernel parity
-    is covered by mvt_roundtrip + the pytest suite)."""
+    """Whole north-star loop at test scale, ORACLED (was rows-only in
+    r1): the synthetic geotags are a splitmix64 mixer that DuckDB
+    reproduces bit-exactly (see oracle_sql), so the per-tile summary
+    (image/feature/decoded counts + parity flag) is relationally
+    recomputed end-to-end — the engine's project→PIP-join→salted-agg→
+    encode→decode-back loop must land every image in the right tile and
+    round-trip every feature to hash-match."""
     from mvtspark.plans.flagship import flagship
 
     n = 2000 if "0.01" in sf else 500
@@ -576,7 +581,11 @@ def asof_join_clicks(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("us")
+        # secondary key orders clicks BEFORE views at equal timestamps so
+        # a same-us click is visible to the view, matching the oracle's
+        # ASOF `v.us >= c.us` (inclusive) deterministically — without it
+        # the tie order is whatever the sort happens to produce
+        .orderBy("us", F.col("click_id").isNull())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = allev.withColumns(
@@ -950,6 +959,79 @@ def mvt_typed_props_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def s2_cell_goldens(spark: SparkSession, sf: str) -> DataFrame:
+    """D18 S2 cell keys (face/UV quadratic projection + Hilbert curve,
+    kernels/cells.py), ORACLED against 128 FROZEN golden ids: the oracle
+    holds literal level-30 and level-10 cell ids generated once and
+    pinned as constants, while the engine recomputes them LIVE from
+    lat/lng — any regression in the face selection, ST quadratic
+    transform, Hilbert orientation tables, or parent truncation fails
+    the hash gate. (Complements xyz_cell_keys, whose Morton interleave
+    the oracle recomputes algebraically.)"""
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mvtspark.kernels import cells
+
+        for pdf in batches:
+            k = pdf["id"].to_numpy()
+            lng = ((k * 137) % 360) - 180 + 0.25
+            lat = ((k * 73) % 170) - 85 + 0.125
+            leaf = cells.s2_cell_id(lng.astype(float), lat.astype(float), 30)
+            p10 = cells.s2_parent(leaf, 10)
+            yield pd.DataFrame(
+                {
+                    "k": k,
+                    "s2_leaf": leaf.view(np.int64),
+                    "s2_l10": p10.view(np.int64),
+                }
+            )
+
+    return spark.range(128).mapInPandas(
+        _gen, schema="k long, s2_leaf long, s2_l10 long"
+    )
+
+
+def invalid_tile_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 validation suite driven END-TO-END over the full hand-authored
+    invalid corpus (sources/invalid_corpus.py — raw wire bytes per
+    validation class, NO encoder in the loop; the reference's
+    TestInvalidMvtInBulk.cs:46-65 strategy). ORACLED against a constant
+    truth table of (class, detected, feature_count, exact error string):
+    every corruption class must be detected WITH its specific error,
+    and the intact control must decode its one feature."""
+    from mvtspark.sources.invalid_corpus import INVALID_CLASSES
+    from mvtspark.sources.tiles import decode_tiles
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ks = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "zoom": [0] * len(ks),
+                    "x": [int(k) for k in ks],
+                    "y": [0] * len(ks),
+                    "mvt": [bytearray(INVALID_CLASSES[int(k)][1]) for k in ks],
+                }
+            )
+
+    tiles = spark.range(len(INVALID_CLASSES)).mapInPandas(
+        _gen, schema="zoom int, x int, y int, mvt binary"
+    )
+    dec = decode_tiles(tiles, validate=True)
+    return dec.groupBy(F.col("x").alias("cls")).agg(
+        F.max(F.col("decode_error").isNotNull().cast("int")).cast("boolean")
+         .alias("error_detected"),
+        F.sum(F.when(F.col("decode_error").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_features"),
+        F.max("decode_error").alias("error"),
+    )
+
+
 # ---------------------------------------------------------- multimodal ops
 
 def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -986,9 +1068,10 @@ def thumbnail_resize(spark: SparkSession, sf: str) -> DataFrame:
 
 def audio_window_features(spark: SparkSession, sf: str) -> DataFrame:
     """Audio windowed RMS + zero-crossing-rate over raw int16 PCM (real
-    numpy — raw PCM needs no codec). Rows-only: the float reductions
-    aren't bit-replicable in SQL; determinism is covered by the fixed
-    synthesis seed."""
+    numpy — raw PCM needs no codec), ORACLED (was rows-only in r1): the
+    squared-sample sums are exact integers below 2^53, so the double
+    reductions are order-independent and DuckDB recomputes RMS/ZCR
+    bit-stably from the same trunc(sin)-synthesized PCM."""
     from mvtspark.operators.multimodal import audio_features
 
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 32)
@@ -1064,6 +1147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xyz_cell_keys": xyz_cell_keys,
         "mvt_clip_roundtrip": mvt_clip_roundtrip,
         "mvt_typed_props_roundtrip": mvt_typed_props_roundtrip,
+        "s2_cell_goldens": s2_cell_goldens,
+        "invalid_tile_suite": invalid_tile_suite,
         "frame_sample": frame_sample,
         "thumbnail_resize": thumbnail_resize,
         "audio_window_features": audio_window_features,
@@ -1117,6 +1202,45 @@ def oracle_sql() -> dict[str, str]:
         TOKEN_MULT as _TMUL,
         TOKEN_SEED as _TSEED,
     )
+
+    # ---- flagship synthetic-geotag reconstruction (splitmix64) --------
+    # kernels/image.py::synth_latlng is a splitmix64-style mixer over
+    # (id + salt); every step is exact integer/dyadic-float math, so
+    # DuckDB reproduces lat/lng BIT-IDENTICALLY (verified: 0 float64
+    # mismatches over the full id range). 64-bit multiplies are split
+    # 32/32 to stay inside HUGEINT.
+    from mvtspark.kernels.image import CITY_LATLNG as _CITY
+    from mvtspark.kernels.image import _ZIPF_CDF as _CDF
+
+    _K1, _K2, _K3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def _mm64(a: str, b: int) -> str:  # (a*b) mod 2^64, HUGEINT-safe
+        return (
+            f"((({a}) % 4294967296) * {b} + ((({a}) // 4294967296)"
+            f" * ({b} % 4294967296) % 4294967296) * 4294967296) % {u64}"
+        )
+
+    _salts = range(1, 11)
+    _sm0 = ", ".join(
+        f"{_mm64(f'CAST(i + {s} AS HUGEINT)', _K1)} AS z{s}_0" for s in _salts
+    )
+    _sm1 = ", ".join(
+        f"{_mm64(f'xor(z{s}_0, z{s}_0 // 1073741824)', _K2)} AS z{s}_1"
+        for s in _salts
+    )
+    _sm2 = ", ".join(
+        f"{_mm64(f'xor(z{s}_1, z{s}_1 // 134217728)', _K3)} AS z{s}_2"
+        for s in _salts
+    )
+    _sm3 = ", ".join(
+        f"CAST(xor(z{s}_2, z{s}_2 // 2147483648) // 2048 AS DOUBLE)"
+        f" / 9007199254740992.0 AS u{s}"
+        for s in _salts
+    )
+    _cdf_l = "[" + ",".join(repr(float(v)) for v in _CDF) + "]"
+    _clat_l = "[" + ",".join(repr(float(v)) for v in _CITY[:, 0]) + "]"
+    _clng_l = "[" + ",".join(repr(float(v)) for v in _CITY[:, 1]) + "]"
+    gx6, gy6 = _merc_xy(6)
 
     # token hash: fold code points; DuckDB split('','') yields [''] whose
     # unicode() is -1, so the empty token is pinned to the bare seed
@@ -1362,6 +1486,62 @@ def oracle_sql() -> dict[str, str]:
               o_orderkey * 104729 % 4096 AS py,
               o_orderstatus AS status
             FROM orders
+        """,
+        "s2_cell_goldens": """
+            SELECT k, s2_leaf, s2_l10 FROM (VALUES (0, -6530217716814202655, -6530218360175591424), (1, 533612247539395237, 533611684657364992), (2, 6685599141109008589, 6685599144389640192), (3, -6949644417791579693, -6949644662776791040), (4, 1361548410894122403, 1361548338419204096), (5, -6246673845106446693, -6246674102581460992), (6, -8143825506822153559, -8143826440727560192), (7, -5747265657937629541, -5747264926129324032), (8, 8151408079268411097, 8151408672912703488), (9, 5273677105790570301, 5273676680743878656), (10, 2991795453196518767, 2991796427945934848), (11, -9172370982984712129, -9172371190000386048), (12, -5266921728856872967, -5266921281302822912), (13, 7222510485251156103, 7222510463441960960), (14, -4988131341766553307, -4988131311987195904), (15, 2663434460873805847, 2663433877380399104), (16, 6254228096190597643, 6254227747464282112), (17, 264216452818570135, 264215942689456128), (18, 6905720743888876561, 6905721372270395392), (19, -6691437721358988419, -6691437551133130752), (20, 1590510732891559109, 1590510639787278336), (21, -5798446910019916023, -5798447192402296832), (22, -7841781257897840001, -7841781800484470784), (23, 6679509653889358565, 6679510048995016704), (24, -6923977213528216507, -6923977663337988096), (25, 1351099947327421921, 1351100778932076544), (26, -6242315945686824795, -6242315638488956928), (27, -8133697092965771385, -8133697739612487680), (28, -5744350663651308479, -5744351220315717632), (29, 8141029114987338445, 8141029283146498048), (30, 5679876672010759567, 5679875858462932992), (31, 2986871515976712539, 2986870615853498368), (32, -9176609869979380193, -9176610906837090304), (33, -5264598093255738587, -5264599112744960000), (34, 7213700777677495733, 7213701176280219648), (35, -4982060485444173409, -4982059808778616832), (36, 2635229042992517581, 2635229205104689152), (37, 5849052630817395077, 5849053314582315008), (38, 268711763648847989, 268710746223804416), (39, 6783890973890031973, 6783891085866303488), (40, -6709681379305095411, -6709680648061190144), (41, 1619075076709583803, 1619075951876898816), (42, -5800857678997980731, -5800857321890381824), (43, -7864223031227683107, -7864222832807378944), (44, 4851953939596884765, 4851954597863882752), (45, -6926745378735578283, -6926746233616728064), (46, 1346520137360998565, 1346520213490761728), (47, -6062602282918696047, -6062602661952225280), (48, -8126197383423153641, -8126196871287799808), (49, -5742752573848038901, -5742752530408931328), (50, 8097598812641695927, 8097598573849346048), (51, 5682364233220314481, 5682365152788217856), (52, 2960867188590798505, 2960867165856595968), (53, 6105464551054721127, 6105463824226189312), (54, -5307697503481236667, -5307697769530523648), (55, 7398563404317542083, 7398564265281454080), (56, -4962395849856700733, -4962396142827470848), (57, 2640165807300925477, 2640166012313403392), (58, 5825865260951969409, 5825864614352519168), (59, 270235452510665451, 270234669339901952), (60, 6778944839041085089, 6778945482564567040), (61, -6703755813521814725, -6703756479410733056), (62, 1453858404766236041, 1453858936640765952), (63, -5808117747301503843, -5808118496680214528), (64, -7885408548103049803, -7885408222851366912), (65, 4948946908084665917, 4948946916596514816), (66, 8475032960940848961, 8475032328362524672), (67, 5188479355387740939, 5188479922754027520), (68, -6072859125990395041, -6072858906416119808), (69, -8120863024654904517, -8120862040869830656), (70, -5644196090897085307, -5644196706141601792), (71, 8102071841940121877, 8102071387151138816), (72, 5684007644578220483, 5684007823160115200), (73, 2965530917906622161, 2965531294181621760), (74, 6093534348040001851, 6093534123064819712), (75, -5311694166132345917, -5311693394785861632), (76, 7009341879656247887, 7009341547095261184), (77, -4965847887224277315, -4965848609338687488), (78, 2545728113060675089, 2545728958603722752), (79, 5829954188211535485, 5829954797607845888), (80, 280741955909924395, 280741602454929408), (81, 6762355758983198751, 6762356051124682752), (82, -6744150245452634365, -6744150337591967744), (83, 1457399030871383531, 1457399364082204672), (84, -5818058692734024167, -5818058081795309568), (85, -8251101927147000667, -8251101392203153408), (86, 4951690779312879105, 4951691297619443712), (87, 8484487643127021529, 8484488128361398272), (88, 5193688402276846597, 5193689408846430208), (89, -6077428386619608161, -6077428476741156864), (90, -8599560010089127131, -8599560816301178880), (91, -5690990680420171993, -5690989721996492800), (92, 8836479583060833741, 8836479183807840256), (93, 5693190107805745247, 5693190944275300352), (94, 2941669904365590797, 2941669692835627008), (95, 6088119222691412533, 6088120127809650688), (96, -5318043008774518079, -5318041974924640256), (97, 6996032389552065905, 6996033058352660480), (98, -4942252092044211867, -4942253089806614528), (99, 4373163280862862261, 4373163463455801344), (100, 5831380392466072545, 5831379764677443584), (101, 96129969769259243, 96129202104827904), (102, 6759558641543420541, 6759558893543620608), (103, -6769613460873291093, -6769612827868004352), (104, 1470858899742426737, 1470859585429438464), (105, -5820868928036913663, -5820868433515905024), (106, -8243230599357016581, -8243231087971532800), (107, 4955452775341111673, 4955453826409693184), (108, 8489824709899569463, 8489825157802622976), (109, 5206893258313329247, 5206892344472764416), (110, -6117196684501463051, -6117195613294559232), (111, -8784385759103108691, -8784386521907068928), (112, -5686884032972408599, -5686884145578377216), (113, 8842429050631259011, 8842429740737363968), (114, 5740148328110350517, 5740148886874357760), (115, 3402402034559262743, 3402402448269115392), (116, 6084662533651041575, 6084663263251922944), (117, 2125280331115880399, 2125280110188691456), (118, 6989866228019453119, 6989866997144092672), (119, -4944789761835888861, -4944790762643521536), (120, 4389804054001451483, 4389803472430563328), (121, 5803301465287284847, 5803300436727300096), (122, 482414341926227639, 482414025221603328), (123, 6650851947928715777, 6650852377928663040), (124, -7446006334517426999, -7446005992996732928), (125, 1475796460264649531, 1475796392638152704), (126, -5822331185203742853, -5822330783980847104), (127, -8234557092206498633, -8234558140251635712))
+            t(k, s2_leaf, s2_l10)
+        """,
+        "invalid_tile_suite": """
+            SELECT cls, error_detected, CAST(n_features AS BIGINT) AS n_features,
+                   error
+            FROM (VALUES (0, false, 1, CAST(NULL AS VARCHAR)), (1, true, 0, 'tile data is empty'), (2, true, 0, 'tile data is gzipped'), (3, true, 0, 'truncated varint'), (4, true, 0, 'unsupported wire type 3'), (5, true, 0, 'tag out of range: 0'), (6, true, 0, 'unknown tile tag 1'), (7, true, 0, 'unsupported layer version 1'), (8, true, 0, 'layer missing name'), (9, true, 0, 'layer has no features'), (10, true, 0, 'layer has invalid extent 0'), (11, true, 0, 'duplicate layer name layer_name'), (12, true, 0, 'layer values are not distinct'), (13, true, 0, 'feature has no geometry type'), (14, true, 0, 'feature has no geometry'), (15, true, 0, 'uneven number of feature tags'), (16, true, 0, 'tag key index out of range'), (17, true, 0, 'tag value index out of range'), (18, true, 0, 'layer length overruns tile')) t(cls, error_detected, n_features, error)
+        """,
+        "audio_window_features": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 32),
+            s AS (SELECT doc_id, unnest(range(0, 4096)) AS t FROM d),
+            pcm AS (SELECT doc_id, t,
+                TRUNC(sin(2 * pi() * (0.01 + (doc_id % 17) * 0.005) * t)
+                      * 12000.0) AS v
+              FROM s),
+            w AS (SELECT doc_id, t // 1024 AS win_idx, v,
+                LAG(v) OVER (PARTITION BY doc_id, t // 1024 ORDER BY t) AS pv
+              FROM pcm),
+            agg AS (SELECT doc_id, win_idx,
+                sqrt(SUM(v * v) / 1024.0) AS rms,
+                SUM(CASE WHEN pv IS NOT NULL AND sign(v) != sign(pv)
+                    THEN 1 ELSE 0 END) / 1023.0 AS zcr
+              FROM w GROUP BY doc_id, win_idx)
+            SELECT 'aud' || CAST(doc_id AS VARCHAR) AS audio_id,
+              CAST(win_idx AS INT) AS win_idx,
+              ROUND(rms, 4) AS rms, ROUND(zcr, 6) AS zcr
+            FROM agg
+        """,
+        "flagship_mvt_pipeline": f"""
+            WITH ids AS (SELECT unnest(range(0, 2000)) AS i),
+            m0 AS (SELECT i, {_sm0} FROM ids),
+            m1 AS (SELECT i, {_sm1} FROM m0),
+            m2 AS (SELECT i, {_sm2} FROM m1),
+            m3 AS (SELECT i, {_sm3} FROM m2),
+            geo AS (SELECT i,
+              LEAST(len(list_filter({_cdf_l}, c -> c < u2)), 15) + 1 AS city1,
+              u3 + u4 + u5 - 1.5 AS n1, u6 + u7 + u8 - 1.5 AS n2,
+              u1, u9, u10 FROM m3),
+            pts AS (SELECT i,
+              CASE WHEN u1 < 0.8 THEN {_clat_l}[city1] + n1 * 0.05
+                   ELSE u9 * 170.1 - 85.05 END AS lat,
+              CASE WHEN u1 < 0.8 THEN {_clng_l}[city1] + n2 * 0.05
+                   ELSE u10 * 360.0 - 180.0 END AS lng
+              FROM geo),
+            t AS (SELECT
+                CAST(GREATEST(0, LEAST(63, FLOOR({gx6} / 4096))) AS INT) AS x,
+                CAST(GREATEST(0, LEAST(63, FLOOR({gy6} / 4096))) AS INT) AS y
+              FROM pts)
+            SELECT 6 AS zoom, x, y,
+              COUNT(*) AS image_count,
+              CAST(COUNT(*) AS INT) AS feature_count,
+              COUNT(*) AS decoded_features,
+              true AS parity_ok
+            FROM t GROUP BY x, y
         """,
         "mvt_typed_props_roundtrip": """
             WITH o AS (SELECT o_orderkey AS fid, o_orderstatus AS st

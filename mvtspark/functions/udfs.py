@@ -158,6 +158,18 @@ def broadcast_rings(
     # go through the permutation (sorted pos -> original ring index)
     perm = np.argsort(keys).astype(np.int64)
     sorted_keys = keys[perm]
+    # CONTRACT: one ring per (zoom, x, y). searchsorted resolves exactly
+    # one ring per key, so a dim with two polygons in the same tile
+    # would silently test points against an arbitrary one (and argsort
+    # is unstable — nondeterministically so). Fail loudly; such dims
+    # must use the rows-per-ring path (spatial_join_pip with
+    # broadcast_dim=False).
+    if sorted_keys.size > 1 and (np.diff(sorted_keys) == 0).any():
+        raise ValueError(
+            "broadcast_rings: duplicate (zoom, x, y) keys in dimension — "
+            "one ring per tile is the broadcast-catalog contract; use "
+            "broadcast_dim=False for multi-polygon tiles"
+        )
     bcast = spark.sparkContext.broadcast(
         (sorted_keys, perm, offsets, rx_flat, ry_flat)
     )

@@ -256,6 +256,8 @@ def decode_tile(data: bytes, validate: bool = False) -> dict[str, Layer]:
         tag, wt, pos = read_key(buf, pos)
         if tag == T_LAYERS:
             ln, pos = read_varint(buf, pos)
+            if pos + ln > n:  # a memoryview slice would silently truncate
+                raise MvtError("layer length overruns tile")
             layer = decode_layer(buf[pos : pos + ln], validate)
             pos += ln
             if layer.name in layers:

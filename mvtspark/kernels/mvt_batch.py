@@ -736,7 +736,9 @@ def typed_value_struct(tag: int, v: object) -> dict:
     return e
 
 
-def decode_tile_rows(blobs: list, typed_props: bool = False) -> tuple:
+def decode_tile_rows(
+    blobs: list, typed_props: bool = False, flat: bool = False
+) -> tuple:
     """Decode a batch of tile blobs → flat per-feature columns.
 
     Returns (tile_idx, layer_names, extents, feature_ids, geom_types,
@@ -746,6 +748,14 @@ def decode_tile_rows(blobs: list, typed_props: bool = False) -> tuple:
     ``list[dict]`` rows of the tagged union struct
     (k, tag, s, f, d, i, u, si, b) preserving Float/Double/UInt/SInt/Bool
     type identity end-to-end (VectorTileReader.cs:166-214).
+
+    ``flat=True`` (the mapInArrow fast path) replaces the three ragged
+    per-feature array lists with FLAT arrays + offset vectors — built by
+    pure vector ops, no per-feature slicing loop — returning
+    (tile_idx i64, layer_names, extents, feature_ids i64, geom_types,
+    xs_flat, ys_flat, vert_off (nfeat+1), parts_flat i32,
+    parts_cnt (per-feature), props_list, err_tiles); exactly the shape
+    ``pyarrow.ListArray.from_arrays`` wants.
 
     Tile/layer structure walk is per-tile Python (few iterations);
     feature headers, varint streams and geometry are batch-vectorized
@@ -836,9 +846,17 @@ def decode_tile_rows(blobs: list, typed_props: bool = False) -> tuple:
         (len(f) for f in lay_fs), dtype=np.int64, count=nlayers
     )
     nfeat = int(counts.sum())
-    empty = ([], [], [], [], [], [], [], [], [], err_tiles)
-    if typed_props:
-        empty = empty + ([],)
+    if flat:
+        empty = (
+            np.empty(0, np.int64), [], [], np.empty(0, np.int64),
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty(0, np.int64), np.zeros(1, np.int64),
+            np.empty(0, np.int32), np.empty(0, np.int64), [], err_tiles,
+        )
+    else:
+        empty = ([], [], [], [], [], [], [], [], [], err_tiles)
+        if typed_props:
+            empty = empty + ([],)
     if nfeat == 0:
         return empty
 
@@ -893,9 +911,41 @@ def decode_tile_rows(blobs: list, typed_props: bool = False) -> tuple:
         np.cumsum(nvals, out=span[1:])
         return vals, span
 
-    geom_vals, geom_span = _batch_varints(gstart, gend)
     tag_vals, tag_span = _batch_varints(tstart, tend)
 
+    # lenient tag-dictionary bounds check: an out-of-range tag index
+    # would crash the whole batch at props assembly (IndexError into the
+    # per-layer key/value fragment lists) — poison ONLY its tile, the
+    # same contract as malformed feature headers above
+    if tag_vals.size:
+        nk = np.fromiter((len(k) for k in lay_keys), dtype=np.int64, count=nlayers)
+        nv = np.fromiter((len(v) for v in lay_vals), dtype=np.int64, count=nlayers)
+        tcounts = np.diff(tag_span)
+        tfeat = np.repeat(np.arange(nfeat, dtype=np.int64), tcounts)
+        toff = np.arange(tag_vals.size, dtype=np.int64) - np.repeat(
+            tag_span[:-1], tcounts
+        )
+        lim = np.where(
+            toff % 2 == 0, nk[feat_layer][tfeat], nv[feat_layer][tfeat]
+        ).astype(np.uint64)
+        badt = tag_vals >= lim
+        if badt.any():
+            bad_tiles = np.unique(feat_tile[np.unique(tfeat[badt])])
+            for ti in bad_tiles:
+                err_tiles[int(ti)] = "tag index out of range"
+            keep = ~np.isin(feat_tile, bad_tiles)
+            if not keep.any():
+                return empty
+            feat_layer, feat_tile = feat_layer[keep], feat_tile[keep]
+            fid_u, gt_a = fid_u[keep], gt_a[keep]
+            gstart, gend = gstart[keep], gend[keep]
+            tag_vals = tag_vals[np.repeat(keep, tcounts)]
+            tcounts = tcounts[keep]
+            nfeat = int(feat_layer.size)
+            tag_span = np.zeros(nfeat + 1, dtype=np.int64)
+            np.cumsum(tcounts, out=tag_span[1:])
+
+    geom_vals, geom_span = _batch_varints(gstart, gend)
     xs, ys, part_off_g, feat_part_off = decode_geometries_batch(geom_vals, geom_span)
     part_off_g32 = part_off_g.astype(np.int32)
 
@@ -913,11 +963,11 @@ def decode_tile_rows(blobs: list, typed_props: bool = False) -> tuple:
         if typed_props else None
     )
 
-    tidx = feat_tile.tolist()
+    tidx = feat_tile.tolist() if not flat else feat_tile
     lnames = [lay_name[l] for l in feat_layer]
     exts = [lay_ext[l] for l in feat_layer]
-    fids = fid_u.view(np.int64).tolist()
-    gtypes = gt_a.tolist()
+    fids = fid_u.view(np.int64).tolist() if not flat else fid_u.view(np.int64)
+    gtypes = gt_a.tolist() if not flat else gt_a
 
     xs_list: list[np.ndarray] = []
     ys_list: list[np.ndarray] = []
@@ -926,15 +976,16 @@ def decode_tile_rows(blobs: list, typed_props: bool = False) -> tuple:
     props_t_list: list = []
     tag_pairs = tag_vals.astype(np.int64)
     for f in range(nfeat):
-        p0, p1 = int(feat_part_off[f]), int(feat_part_off[f + 1])
-        v0 = int(part_off_g[p0]) if p0 < p1 else 0
-        v1 = int(part_off_g[p1]) if p0 < p1 else 0
-        xs_list.append(xs[v0:v1])
-        ys_list.append(ys[v0:v1])
-        off_list.append(
-            (part_off_g32[p0 : p1 + 1] - np.int32(v0))
-            if p0 < p1 else np.zeros(1, np.int32)
-        )
+        if not flat:
+            p0, p1 = int(feat_part_off[f]), int(feat_part_off[f + 1])
+            v0 = int(part_off_g[p0]) if p0 < p1 else 0
+            v1 = int(part_off_g[p1]) if p0 < p1 else 0
+            xs_list.append(xs[v0:v1])
+            ys_list.append(ys[v0:v1])
+            off_list.append(
+                (part_off_g32[p0 : p1 + 1] - np.int32(v0))
+                if p0 < p1 else np.zeros(1, np.int32)
+            )
         lid = feat_layer[f]
         kf = key_frags[lid]
         vf = val_frags[lid]
@@ -960,5 +1011,24 @@ def decode_tile_rows(blobs: list, typed_props: bool = False) -> tuple:
                 {"k": ks[int(tag_pairs[j])], **vt[int(tag_pairs[j + 1])]}
                 for j in range(t0, t1 - 1, 2)
             ])
+    if flat:
+        # per-feature vertex spans: contiguous and ordered by feature,
+        # so the offsets vector is a single gather
+        vert_off = part_off_g[feat_part_off]
+        pd_diff = np.diff(feat_part_off)
+        sizes = np.where(pd_diff > 0, pd_diff + 1, 1)
+        pb = np.zeros(nfeat + 1, dtype=np.int64)
+        np.cumsum(sizes, out=pb[1:])
+        within = np.arange(int(pb[-1]), dtype=np.int64) - np.repeat(
+            pb[:-1], sizes
+        )
+        src = np.repeat(feat_part_off[:-1], sizes) + within
+        parts_flat = part_off_g32[src] - np.repeat(
+            part_off_g32[feat_part_off[:-1]], sizes
+        )
+        return (
+            tidx, lnames, exts, fids, gtypes, xs, ys, vert_off,
+            parts_flat, sizes, props_list, err_tiles,
+        )
     out = (tidx, lnames, exts, fids, gtypes, xs_list, ys_list, off_list, props_list, err_tiles)
     return out + (props_t_list,) if typed_props else out

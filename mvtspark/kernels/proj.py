@@ -30,8 +30,10 @@ def tile_to_lnglat(
     tile_y: np.ndarray,
     extent: int = 4096,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse Web Mercator. ref: src/Geometry/Geometry.cs:71-103."""
-    size = float(extent) * (2.0 ** zoom)
+    """Inverse Web Mercator. ref: src/Geometry/Geometry.cs:71-103.
+    ``extent`` may be a scalar or a per-vertex array."""
+    extent = np.asarray(extent, dtype=np.float64)
+    size = extent * (2.0 ** zoom)
     x0 = np.asarray(tile_x, dtype=np.float64) * extent
     y0 = np.asarray(tile_y, dtype=np.float64) * extent
     lng = (np.asarray(px, dtype=np.float64) + x0) * 360.0 / size - 180.0

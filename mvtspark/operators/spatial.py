@@ -240,8 +240,14 @@ def knn_ring_join(
     if (1 << zoom) - 1 <= r1:
         return _pass(pts, r1)
 
-    pts = pts.cache()
-    near = _pass(pts, r1).cache()
+    # two-pass remainder reuses both frames; persist spill-safe: at fact
+    # scale (10^12 rows) MEMORY-cache of the point table is an eviction
+    # storm, DISK_ONLY is a sequential columnar spill the second pass
+    # re-reads once (VERDICT r1 scale-hygiene note)
+    from pyspark import StorageLevel
+
+    pts = pts.persist(StorageLevel.DISK_ONLY)
+    near = _pass(pts, r1).persist(StorageLevel.DISK_ONLY)
     satisfied = (
         near.groupBy("image_id").count().where(F.col("count") >= k).select("image_id")
     )

@@ -253,3 +253,20 @@ def test_broadcast_rings_rejects_zoom_past_packed_key_range(spark):
     )
     with pytest.raises(ValueError, match="zoom <= 28"):
         broadcast_rings(spark, bad)
+
+
+def test_broadcast_rings_rejects_duplicate_tile_keys(spark):
+    """searchsorted resolves ONE ring per packed key; a dim with two
+    polygons in one tile must fail loudly instead of nondeterministically
+    picking one (unstable argsort) — multi-polygon tiles belong on the
+    broadcast_dim=False path."""
+    from mvtspark.functions.udfs import broadcast_rings
+
+    ring_x = [0, 10, 10, 0, 0]
+    ring_y = [0, 0, 10, 10, 0]
+    dup = spark.createDataFrame(
+        [(4, 1, 1, ring_x, ring_y), (4, 1, 1, ring_x, ring_y)],
+        "zoom int, x long, y long, ring_x array<long>, ring_y array<long>",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_rings(spark, dup)

@@ -307,3 +307,46 @@ def test_batch_kernel_decodes_hand_authored_bytes():
     i3 = [i for i, r in enumerate(rows) if r[0] == 3]
     assert [names[i] for i in i3] == ["poly", "layer_name"]
     assert np.asarray(xs_l[i3[0]]).tolist() == [3, 8, 20, 3]
+
+
+def test_invalid_corpus_every_class_detected():
+    """Every hand-authored invalid class must raise in strict decode
+    with its SPECIFIC error, and the intact control must decode
+    (sources/invalid_corpus.py; TestInvalidMvtInBulk.cs:46-65 analog)."""
+    from mvtspark.sources.invalid_corpus import INVALID_CLASSES
+
+    expected_fragment = {
+        1: "empty", 2: "gzipped", 3: "truncated varint",
+        4: "unsupported wire type", 5: "tag out of range",
+        6: "unknown tile tag", 7: "unsupported layer version",
+        8: "missing name", 9: "no features", 10: "invalid extent",
+        11: "duplicate layer name", 12: "values are not distinct",
+        13: "no geometry type", 14: "feature has no geometry",
+        15: "uneven number of feature tags", 16: "tag key index",
+        17: "tag value index", 18: "length overruns",
+    }
+    layers = mvt.decode_tile(INVALID_CLASSES[0][1], validate=True)
+    assert sum(len(l.features) for l in layers.values()) == 1
+    for cls, frag in expected_fragment.items():
+        try:
+            mvt.decode_tile(INVALID_CLASSES[cls][1], validate=True)
+            raise AssertionError(f"class {cls} decoded without error")
+        except Exception as e:
+            assert frag in str(e), (cls, str(e))
+
+
+def test_invalid_corpus_batch_kernel_poisons_only_bad_tiles():
+    """Lenient batch decode of the WHOLE corpus: every invalid tile gets
+    an error entry, the intact tile still decodes. (Batch mode skips the
+    strict per-layer checks, so structurally-readable-but-semantically-
+    invalid classes decode leniently — that is its documented contract;
+    structurally broken ones must still be caught.)"""
+    from mvtspark.sources.invalid_corpus import INVALID_CLASSES
+
+    blobs = [INVALID_CLASSES[c][1] for c in sorted(INVALID_CLASSES)]
+    out = mvt_batch.decode_tile_rows(blobs)
+    tile_idx, errs = out[0], out[9]
+    assert 0 not in errs  # intact control decodes
+    assert 0 in tile_idx
+    structural = {1, 2, 3, 5, 18}  # unreadable at the wire level
+    assert structural <= set(errs), (structural - set(errs))
