@@ -994,6 +994,48 @@ def s2_cell_goldens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def layers_index_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """S-side lazy layer index over MULTI-layer tiles (ref
+    VectorTileReader.cs:53-100 name-only scan; SURVEY §3.1
+    layers_index), ORACLED: two per-tile layers are built by encoding
+    two feature sets and concatenating the tile messages (protobuf field
+    concatenation IS multi-layer), then layers_index reports
+    (layer, feature_count) per tile WITHOUT decoding feature bodies —
+    DuckDB recomputes both layers' per-tile counts relationally."""
+    from mvtspark.sources.tiles import encode_tiles, layers_index
+
+    o = _t(spark, sf, "orders")
+
+    def _feats(src):
+        return src.select(
+            F.lit(2).alias("zoom"),
+            (F.col("o_orderkey") % 4).cast("int").alias("x"),
+            ((F.col("o_orderkey") / 4).cast("long") % 4).cast("int").alias("y"),
+            F.lit(4096).alias("extent"),
+            F.col("o_orderkey").alias("feature_id"),
+            F.lit(1).alias("geom_type"),
+            F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("part_offsets"),
+            F.array(F.col("o_orderkey") * 7919 % 4096).alias("xs"),
+            F.array(F.col("o_orderkey") * 104729 % 4096).alias("ys"),
+            F.lit(None).cast("string").alias("props"),
+        )
+
+    a = encode_tiles(_feats(o), layer_name="alpha").select(
+        "zoom", "x", "y", F.col("mvt").alias("mvt_a")
+    )
+    b = encode_tiles(
+        _feats(o.where(F.col("o_orderkey") % 3 == 0)), layer_name="beta"
+    ).select("zoom", "x", "y", F.col("mvt").alias("mvt_b"))
+    tiles = a.join(b, ["zoom", "x", "y"], "left").select(
+        "zoom", "x", "y",
+        F.concat(F.col("mvt_a"), F.coalesce(F.col("mvt_b"), F.lit(b""))).alias("mvt"),
+    )
+    return layers_index(tiles).where(F.col("index_error").isNull()).select(
+        "zoom", "x", "y", "layer",
+        F.col("feature_count").cast("long").alias("feature_count"),
+    )
+
+
 def invalid_tile_suite(spark: SparkSession, sf: str) -> DataFrame:
     """P5 validation suite driven END-TO-END over the full hand-authored
     invalid corpus (sources/invalid_corpus.py — raw wire bytes per
@@ -1149,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_typed_props_roundtrip": mvt_typed_props_roundtrip,
         "s2_cell_goldens": s2_cell_goldens,
         "invalid_tile_suite": invalid_tile_suite,
+        "layers_index_scan": layers_index_scan,
         "frame_sample": frame_sample,
         "thumbnail_resize": thumbnail_resize,
         "audio_window_features": audio_window_features,
@@ -1495,6 +1538,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT cls, error_detected, CAST(n_features AS BIGINT) AS n_features,
                    error
             FROM (VALUES (0, false, 1, CAST(NULL AS VARCHAR)), (1, true, 0, 'tile data is empty'), (2, true, 0, 'tile data is gzipped'), (3, true, 0, 'truncated varint'), (4, true, 0, 'unsupported wire type 3'), (5, true, 0, 'tag out of range: 0'), (6, true, 0, 'unknown tile tag 1'), (7, true, 0, 'unsupported layer version 1'), (8, true, 0, 'layer missing name'), (9, true, 0, 'layer has no features'), (10, true, 0, 'layer has invalid extent 0'), (11, true, 0, 'duplicate layer name layer_name'), (12, true, 0, 'layer values are not distinct'), (13, true, 0, 'feature has no geometry type'), (14, true, 0, 'feature has no geometry'), (15, true, 0, 'uneven number of feature tags'), (16, true, 0, 'tag key index out of range'), (17, true, 0, 'tag value index out of range'), (18, true, 0, 'layer length overruns tile')) t(cls, error_detected, n_features, error)
+        """,
+        "layers_index_scan": """
+            WITH t AS (SELECT 2 AS zoom,
+                CAST(o_orderkey % 4 AS INT) AS x,
+                CAST(CAST(FLOOR(o_orderkey / 4) AS BIGINT) % 4 AS INT) AS y,
+                o_orderkey FROM orders)
+            SELECT zoom, x, y, 'alpha' AS layer, COUNT(*) AS feature_count
+            FROM t GROUP BY zoom, x, y
+            UNION ALL
+            SELECT zoom, x, y, 'beta', COUNT(*)
+            FROM t WHERE o_orderkey % 3 = 0 GROUP BY zoom, x, y
         """,
         "audio_window_features": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 32),

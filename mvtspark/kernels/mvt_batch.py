@@ -736,8 +736,88 @@ def typed_value_struct(tag: int, v: object) -> dict:
     return e
 
 
+def _peek_layer_name(buf, lstart: int, lend: int) -> str:
+    """Name-only partial parse of one layer message (ref lazy index:
+    VectorTileReader.cs:53-100): every non-name field is skipped by
+    pointer arithmetic, no string/value decoding."""
+    from .pbf import read_key, read_varint, skip
+
+    from . import mvt as mk
+
+    p = lstart
+    while p < lend:
+        t2, w2, p = read_key(buf, p)
+        if t2 == mk.L_NAME:
+            sl, p = read_varint(buf, p)
+            return bytes(buf[p : p + sl]).decode("utf-8")
+        p = skip(buf, p, w2)
+    return ""
+
+
+def layers_index(blobs: list) -> tuple[list, list, list, dict]:
+    """Lazy per-tile layer index (SURVEY §3.1 ``layers_index``; ref
+    VectorTileReader.cs:53-100): for each tile, layer names and feature
+    COUNTS from a partial parse — feature bodies, dictionaries, geometry
+    and props are never decoded. Returns (tile_idx, names,
+    feature_counts, err_tiles)."""
+    from . import mvt as mk
+    from .pbf import read_key, read_varint, skip
+
+    t_out: list[int] = []
+    n_out: list[str] = []
+    c_out: list[int] = []
+    errs: dict[int, str] = {}
+    for ti, blob in enumerate(blobs):
+        try:
+            data = bytes(blob)
+            if len(data) == 0:
+                raise mk.MvtError("tile data is empty")
+            if len(data) >= 2 and data[0] == 0x1F and data[1] == 0x8B:
+                raise mk.MvtError("tile data is gzipped")
+            buf = memoryview(data)
+            pos, n = 0, len(buf)
+            seen: set[str] = set()
+            while pos < n:
+                tag, wt, pos = read_key(buf, pos)
+                if tag != mk.T_LAYERS:
+                    pos = skip(buf, pos, wt)
+                    continue
+                ln, pos = read_varint(buf, pos)
+                lstart, lend = pos, pos + ln
+                if lend > n:
+                    raise mk.MvtError("layer length overruns tile")
+                pos = lend
+                name = ""
+                nfeat = 0
+                p = lstart
+                while p < lend:
+                    t2, w2, p = read_key(buf, p)
+                    if t2 == mk.L_NAME:
+                        sl, p = read_varint(buf, p)
+                        name = bytes(buf[p : p + sl]).decode("utf-8")
+                        p += sl
+                    elif t2 == mk.L_FEATURES:
+                        sl, p = read_varint(buf, p)
+                        nfeat += 1
+                        p += sl
+                    else:
+                        p = skip(buf, p, w2)
+                if name in seen:
+                    raise mk.MvtError(f"duplicate layer name {name}")
+                seen.add(name)
+                t_out.append(ti)
+                n_out.append(name)
+                c_out.append(nfeat)
+        except Exception as e:
+            errs[ti] = str(e)
+    return t_out, n_out, c_out, errs
+
+
 def decode_tile_rows(
-    blobs: list, typed_props: bool = False, flat: bool = False
+    blobs: list,
+    typed_props: bool = False,
+    flat: bool = False,
+    layer_filter: frozenset | set | None = None,
 ) -> tuple:
     """Decode a batch of tile blobs → flat per-feature columns.
 
@@ -797,6 +877,18 @@ def decode_tile_rows(
                 if lend > n:
                     raise mk.MvtError("layer length overruns tile")
                 pos = lend
+                if layer_filter is not None:
+                    # lazy layer skip (ref layers_index name-only scan,
+                    # VectorTileReader.cs:53-100): peek ONLY the name —
+                    # for unselected layers the dictionary strings,
+                    # feature headers, varint streams, geometry and
+                    # props are never touched
+                    nm = _peek_layer_name(buf, lstart, lend)
+                    if nm not in layer_filter:
+                        if nm in seen_names:
+                            raise mk.MvtError(f"duplicate layer name {nm}")
+                        seen_names.add(nm)
+                        continue
                 name = ""
                 extent = mk.DEFAULT_EXTENT
                 keys: list[str] = []

@@ -90,8 +90,60 @@ def tile_polygons(
     )
 
 
+def layers_index(tiles: DataFrame) -> DataFrame:
+    """Lazy layer index (SURVEY §3.1; ref VectorTileReader.cs:53-100):
+    (zoom, x, y, layer, feature_count) from a name-only partial parse —
+    feature bodies, dictionaries, geometry and props are never decoded.
+    The cheap probe for wide multi-layer tiles; pair with
+    ``decode_tiles(..., layers={...})`` to decode only what's needed."""
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mvtspark.kernels.mvt_batch import layers_index as kidx
+
+        for pdf in batches:
+            tix, names, counts, errs = kidx([bytes(b) for b in pdf["mvt"]])
+            ti = np.asarray(tix, dtype=np.int64)
+            zoom_a = pdf["zoom"].to_numpy()
+            x_a = pdf["x"].to_numpy()
+            y_a = pdf["y"].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "zoom": zoom_a[ti] if ti.size else np.empty(0, zoom_a.dtype),
+                    "x": x_a[ti] if ti.size else np.empty(0, x_a.dtype),
+                    "y": y_a[ti] if ti.size else np.empty(0, y_a.dtype),
+                    "layer": names,
+                    "feature_count": np.asarray(counts, dtype=np.int32),
+                    "index_error": None,
+                }
+            )
+            if errs:
+                out = pd.concat(
+                    [out, pd.DataFrame({
+                        "zoom": zoom_a[list(errs)],
+                        "x": x_a[list(errs)],
+                        "y": y_a[list(errs)],
+                        "layer": None,
+                        "feature_count": None,
+                        "index_error": list(errs.values()),
+                    })],
+                    ignore_index=True,
+                )
+            yield out
+
+    return tiles.mapInPandas(
+        _index,
+        schema="zoom int, x int, y int, layer string, "
+               "feature_count int, index_error string",
+    )
+
+
 def decode_tiles(
-    tiles: DataFrame, validate: bool = False, typed_props: bool = False
+    tiles: DataFrame,
+    validate: bool = False,
+    typed_props: bool = False,
+    layers: set | frozenset | None = None,
 ) -> DataFrame:
     """tiles (zoom,x,y,mvt) → one row per feature (lenient mode puts the
     error in ``decode_error`` instead of failing the job — engine-side
@@ -106,12 +158,18 @@ def decode_tiles(
     Bool type identity (VectorTileReader.cs:166-214) that the JSON
     ``props`` string loses; opt-in so the hot path pays nothing.
 
+    ``layers`` restricts decoding to the named layers via the kernel's
+    lazy name-only peek (ref layers_index, VectorTileReader.cs:53-100) —
+    unselected layers never decode their dictionaries, features or
+    geometry.
+
     The plain lenient mode (no validate, no typed_props — the hot path)
     is served by :func:`decode_tiles_arrow`, which skips both pandas
     conversions entirely (verified row-identical; ~1.4x on the decode
     bench, more as features/batch grow)."""
     if not validate and not typed_props:
-        return decode_tiles_arrow(tiles)
+        return decode_tiles_arrow(tiles, layers=layers)
+    lf = frozenset(layers) if layers is not None else None
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -145,6 +203,8 @@ def decode_tiles(
                                         decode_error=str(e)))
                         continue
                     for lname, layer in layers.items():
+                        if lf is not None and lname not in lf:
+                            continue
                         vstructs = (
                             [typed_value_struct(t, v) for t, v in layer.values]
                             if typed_props else None
@@ -168,7 +228,9 @@ def decode_tiles(
                 continue
 
             blobs = [bytes(b) for b in pdf["mvt"]]
-            decoded = decode_tile_rows(blobs, typed_props=typed_props)
+            decoded = decode_tile_rows(
+                blobs, typed_props=typed_props, layer_filter=lf
+            )
             (tix, lnames, exts, fids, gts, xsl, ysl, offl, props, errs) = (
                 decoded[:10]
             )
@@ -214,14 +276,18 @@ def decode_tiles(
     return tiles.mapInPandas(_decode, schema=schema)
 
 
-def decode_tiles_arrow(tiles: DataFrame) -> DataFrame:
+def decode_tiles_arrow(
+    tiles: DataFrame, layers: set | frozenset | None = None
+) -> DataFrame:
     """Lenient tile decode over ``mapInArrow`` (SURVEY §2.9): the batch
     comes in and goes out as Arrow RecordBatches, skipping BOTH pandas
     conversions — the binary blobs are never copied into a pandas object
     Series, and the ragged xs/ys/part_offsets columns are built directly
     as Arrow ListArrays from the kernel's flat arrays + offsets (no
     per-feature Python slicing at all; kernels/mvt_batch flat mode).
-    Output schema identical to :func:`decode_tiles` lenient mode."""
+    Output schema identical to :func:`decode_tiles` lenient mode;
+    ``layers`` applies the kernel's lazy name-only layer skip."""
+    lf = frozenset(layers) if layers is not None else None
 
     def _decode(batches):
         import numpy as np
@@ -234,7 +300,7 @@ def decode_tiles_arrow(tiles: DataFrame) -> DataFrame:
             blobs = rb.column(gi("mvt")).to_pylist()
             (tix, lnames, exts, fids, gts, xs, ys, vert_off,
              parts_flat, parts_cnt, props, errs) = decode_tile_rows(
-                blobs, flat=True
+                blobs, flat=True, layer_filter=lf
             )
             zoom_a = rb.column(gi("zoom")).to_numpy(zero_copy_only=False)
             x_a = rb.column(gi("x")).to_numpy(zero_copy_only=False)

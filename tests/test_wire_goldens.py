@@ -350,3 +350,41 @@ def test_invalid_corpus_batch_kernel_poisons_only_bad_tiles():
     assert 0 in tile_idx
     structural = {1, 2, 3, 5, 18}  # unreadable at the wire level
     assert structural <= set(errs), (structural - set(errs))
+
+
+def test_layers_index_partial_parse():
+    """Lazy layer index (ref VectorTileReader.cs:53-100): names +
+    feature counts from a name-only parse of the hand-authored bytes."""
+    tix, names, counts, errs = mvt_batch.layers_index(
+        [GOLDEN_TWO_LAYERS, GOLDEN_SINGLE_POINT, b"\x1f\x8bxx"])
+    assert errs == {2: "tile data is gzipped"}
+    assert list(zip(tix, names, counts)) == [
+        (0, "poly", 1), (0, "layer_name", 1), (1, "layer_name", 1)]
+
+
+def test_layer_filter_skips_unselected_layers():
+    out = mvt_batch.decode_tile_rows(
+        [GOLDEN_TWO_LAYERS], layer_filter=frozenset({"poly"}))
+    tidx, names = out[0], out[1]
+    assert names == ["poly"] and out[9] == {}
+    # duplicate-name detection still fires for SKIPPED layers
+    dup = GOLDEN_TWO_LAYERS + bytes([0x1A, len(_LAYER_D_BODY)]) + _LAYER_D_BODY
+    out2 = mvt_batch.decode_tile_rows([dup], layer_filter=frozenset({"nope"}))
+    assert 0 in out2[9] and "duplicate" in out2[9][0]
+
+
+def test_decode_tiles_layer_filter_dataframe(spark):
+    from pyspark.sql import functions as F
+
+    from mvtspark.sources.tiles import decode_tiles, layers_index
+
+    tiles = spark.createDataFrame(
+        [(0, 0, 0, bytearray(GOLDEN_TWO_LAYERS))],
+        "zoom int, x int, y int, mvt binary",
+    )
+    idx = layers_index(tiles).orderBy("layer").collect()
+    assert [(r.layer, r.feature_count) for r in idx] == [
+        ("layer_name", 1), ("poly", 1)]
+    only = decode_tiles(tiles, layers={"layer_name"}).collect()
+    assert [r.layer for r in only] == ["layer_name"]
+    assert only[0].feature_id == 123
