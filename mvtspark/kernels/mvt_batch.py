@@ -482,12 +482,7 @@ def encode_tile_rows(
     Byte-identical to the per-tile path (mvt.encode_tile over
     mvt.Layer/Feature built by sources.tiles.encode_tiles' original
     implementation)."""
-    import json as _json
-
-    from . import mvt as mk
-
     nfeat = feature_id.size
-    ntiles = tile_bounds.size - 1
 
     # --- flatten ragged vertices/parts (global indexing)
     vcounts = np.fromiter((len(a) for a in xs_list), dtype=np.int64, count=nfeat)
@@ -507,6 +502,62 @@ def encode_tile_rows(
         if k:
             part_off[w : w + k] = np.asarray(p[:-1], dtype=np.int64) + vert_off[i]
             w += k
+    return _encode_from_flat(
+        tile_bounds, feature_id, geom_type, xs, ys, vert_off, part_off,
+        feat_part_off, props_json, props_typed, layer_name, extents, version,
+    )
+
+
+def encode_tile_rows_flat(
+    tile_bounds: np.ndarray,
+    feature_id: np.ndarray,
+    geom_type: np.ndarray,
+    xs: np.ndarray,            # flat int64 vertices (all features)
+    ys: np.ndarray,
+    vert_off: np.ndarray,      # int64 (nfeat+1) vertex spans
+    po_flat: np.ndarray,       # flat LOCAL part offsets incl. trailing end
+    po_off: np.ndarray,        # int64 (nfeat+1) spans into po_flat
+    props_json: list,
+    layer_name: str,
+    extents: np.ndarray,
+    version: int = 2,
+) -> list[bytes]:
+    """Arrow fast path: same encode as :func:`encode_tile_rows` but fed
+    directly from ListArray value/offset buffers — the global part-offset
+    table is built by vector ops instead of a per-feature Python loop.
+    Byte-identical output (asserted in tests)."""
+    nfeat = feature_id.size
+    pc = np.diff(po_off)
+    pcounts = np.maximum(pc - 1, 0)
+    feat_part_off = np.zeros(nfeat + 1, dtype=np.int64)
+    np.cumsum(pcounts, out=feat_part_off[1:])
+    if nfeat:
+        total = int(po_off[-1])
+        within = np.arange(total, dtype=np.int64) - np.repeat(po_off[:-1], pc)
+        keep = within < np.repeat(pc, pc) - 1  # drop each trailing end
+        part_off = (
+            po_flat.astype(np.int64) + np.repeat(vert_off[:-1], pc)
+        )[keep]
+    else:
+        part_off = np.empty(0, np.int64)
+    return _encode_from_flat(
+        tile_bounds, feature_id, geom_type,
+        xs.astype(np.int64, copy=False), ys.astype(np.int64, copy=False),
+        vert_off, part_off, feat_part_off, props_json, None,
+        layer_name, extents, version,
+    )
+
+
+def _encode_from_flat(
+    tile_bounds, feature_id, geom_type, xs, ys, vert_off, part_off,
+    feat_part_off, props_json, props_typed, layer_name, extents, version,
+) -> list[bytes]:
+    import json as _json
+
+    from . import mvt as mk
+
+    nfeat = feature_id.size
+    ntiles = tile_bounds.size - 1
 
     # --- per-tile dictionaries + per-feature tags (Python, cheap dict ops)
     tags_parts: list[list[int]] = []

@@ -528,6 +528,79 @@ def encode_tiles(
         if held is not None and len(held):
             yield _encode_pdf(held)
 
+    def _encode_tbl_arrow(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        from mvtspark.kernels.mvt_batch import encode_tile_rows_flat
+
+        z = tbl.column("zoom").to_numpy(zero_copy_only=False)
+        x = tbl.column("x").to_numpy(zero_copy_only=False)
+        y = tbl.column("y").to_numpy(zero_copy_only=False)
+        n = len(z)
+        change = np.ones(n, dtype=bool)
+        change[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+        starts = np.flatnonzero(change)
+        tile_bounds = np.append(starts, n).astype(np.int64)
+
+        def _flat(name):
+            arr = tbl.column(name).combine_chunks()
+            lens = arr.value_lengths().to_numpy(zero_copy_only=False)
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=off[1:])
+            return arr.flatten().to_numpy(zero_copy_only=False), off
+
+        xs_f, vert_off = _flat("xs")
+        ys_f, _ = _flat("ys")
+        po_f, po_off = _flat("part_offsets")
+        blobs = encode_tile_rows_flat(
+            tile_bounds,
+            tbl.column("feature_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            tbl.column("geom_type").to_numpy(zero_copy_only=False).astype(np.int64),
+            xs_f, ys_f, vert_off, po_f, po_off,
+            tbl.column("props").to_pylist()
+            if "props" in tbl.schema.names else [None] * n,
+            layer_name,
+            tbl.column("extent").to_numpy(zero_copy_only=False)[starts].astype(np.int64),
+        )
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(z[starts], type=pa.int32()),
+                pa.array(x[starts], type=pa.int32()),
+                pa.array(y[starts], type=pa.int32()),
+                pa.array(blobs, type=pa.binary()),
+                pa.array(np.diff(tile_bounds).astype(np.int32), type=pa.int32()),
+            ],
+            names=["zoom", "x", "y", "mvt", "feature_count"],
+        )
+
+    def _encode_arrow(batches):
+        import pyarrow as pa
+
+        held = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if held is not None and held.num_rows:
+                tbl = pa.concat_tables([held, tbl]).combine_chunks()
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            import numpy as np
+
+            z = tbl.column("zoom").to_numpy(zero_copy_only=False)
+            x = tbl.column("x").to_numpy(zero_copy_only=False)
+            y = tbl.column("y").to_numpy(zero_copy_only=False)
+            # rows NOT belonging to the (possibly incomplete) final tile
+            mism = np.flatnonzero(
+                (z != z[-1]) | (x != x[-1]) | (y != y[-1])
+            )
+            split = int(mism[-1]) + 1 if mism.size else 0
+            held = tbl.slice(split)
+            if split:
+                yield _encode_tbl_arrow(tbl.slice(0, split).combine_chunks())
+        if held is not None and held.num_rows:
+            yield _encode_tbl_arrow(held.combine_chunks())
+
     out_schema = TILE_SCHEMA + ", feature_count int"
     part_cols = ["zoom", "x", "y"]
     shuffled = (
@@ -535,9 +608,14 @@ def encode_tiles(
         if partitions
         else features.repartition(*part_cols)
     )
-    return shuffled.sortWithinPartitions(
-        "zoom", "x", "y", "feature_id"
-    ).mapInPandas(_encode, schema=out_schema)
+    sorted_df = shuffled.sortWithinPartitions("zoom", "x", "y", "feature_id")
+    if "props_t" in features.columns:
+        # typed-union dictionaries ride the pandas path
+        return sorted_df.mapInPandas(_encode, schema=out_schema)
+    # Arrow fast path: ragged xs/ys/part_offsets stay in ListArray
+    # buffers end-to-end — no pandas object-Series conversion, no
+    # per-feature Python in the flatten (kernels/mvt_batch flat input)
+    return sorted_df.mapInArrow(_encode_arrow, schema=out_schema)
 
 
 def _fmt_invariant(arr) -> "pd.Series":
