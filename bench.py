@@ -495,8 +495,20 @@ Secondary pair local[8] → local[32]: {report['scaling_efficiency_8_32']} — s
 - AQE + skew-join enabled on top; `spark.sql.shuffle.partitions`
   scales with cores.
 """
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+    # preserve hand-written sections below the marker across rewrites
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    appendix = ""
+    marker = "<!-- appendix -->"
+    try:
+        old = open(path).read()
+        if marker in old:
+            appendix = old[old.index(marker):]
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
         f.write(md)
+        if appendix:
+            f.write("\n" + appendix)
 
 
 if __name__ == "__main__":
