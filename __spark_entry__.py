@@ -1036,6 +1036,71 @@ def layers_index_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup GROUP assignment — candidate pairs (exact 3-gram Jaccard ≥
+    0.5) collapsed into connected components by iterative min-label
+    propagation (operators/dedup.py::connected_components; the Pregel
+    loop shape: every iteration is a distributed neighbor-min join).
+    ORACLED: DuckDB rebuilds the same pair graph and closes it with a
+    recursive reachability CTE — labels, canonical keepers and group
+    sizes must all hash-match. The step every near-dup pipeline needs
+    after pair generation (A~B, B~C must collapse to ONE group)."""
+    from mvtspark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    ids = d.select("doc_id")
+    cand = ids.select(F.col("doc_id").alias("doc_a")).join(
+        ids.select(F.col("doc_id").alias("doc_b")),
+        F.col("doc_a") < F.col("doc_b"),
+    )
+    pairs = ngram_jaccard_pairs(d, cand, n=3, threshold=0.5)
+    return connected_components(pairs).select(
+        "doc_id", "group_id", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+def streaming_tile_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2.10 Structured Streaming, driver-visible and ORACLED:
+    a bounded file stream (two appended micro-batch files, the second a
+    pure duplicate of half the first) runs the real streaming pipeline —
+    watermark + dropDuplicates exactly-once dedup, native tile
+    assignment, tumbling event-time window, stateful agg — under
+    Trigger.AvailableNow into a memory sink. The synthetic points are
+    the same splitmix64 geotags as the flagship, so DuckDB recomputes
+    the per-tile windowed counts relationally; the duplicate batch must
+    change NOTHING (dedup correctness is part of the hash gate)."""
+    import tempfile
+    import uuid as _uuid
+
+    from mvtspark.sources.images import synth_points
+    from mvtspark.streaming import file_points_stream, stream_tile_counts
+
+    base = tempfile.mkdtemp(prefix="mvtspark_streamq_")
+    pts = synth_points(spark, 1000).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000))
+    )
+    pts.coalesce(1).write.mode("append").parquet(base + "/in")
+    pts.limit(500).coalesce(1).write.mode("append").parquet(base + "/in")
+
+    stream = file_points_stream(spark, base + "/in", max_files_per_trigger=1)
+    counts = stream_tile_counts(stream, zoom=6)
+    name = "strq_" + _uuid.uuid4().hex[:8]
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "zoom", "x", "y",
+        F.col("image_count").cast("long").alias("image_count"),
+    )
+
+
 def invalid_tile_suite(spark: SparkSession, sf: str) -> DataFrame:
     """P5 validation suite driven END-TO-END over the full hand-authored
     invalid corpus (sources/invalid_corpus.py — raw wire bytes per
@@ -1192,6 +1257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_goldens": s2_cell_goldens,
         "invalid_tile_suite": invalid_tile_suite,
         "layers_index_scan": layers_index_scan,
+        "streaming_tile_counts": streaming_tile_counts,
+        "dedup_groups": dedup_groups,
         "frame_sample": frame_sample,
         "thumbnail_resize": thumbnail_resize,
         "audio_window_features": audio_window_features,
@@ -1539,6 +1606,31 @@ def oracle_sql() -> dict[str, str]:
                    error
             FROM (VALUES (0, false, 1, CAST(NULL AS VARCHAR)), (1, true, 0, 'tile data is empty'), (2, true, 0, 'tile data is gzipped'), (3, true, 0, 'truncated varint'), (4, true, 0, 'unsupported wire type 3'), (5, true, 0, 'tag out of range: 0'), (6, true, 0, 'unknown tile tag 1'), (7, true, 0, 'unsupported layer version 1'), (8, true, 0, 'layer missing name'), (9, true, 0, 'layer has no features'), (10, true, 0, 'layer has invalid extent 0'), (11, true, 0, 'duplicate layer name layer_name'), (12, true, 0, 'layer values are not distinct'), (13, true, 0, 'feature has no geometry type'), (14, true, 0, 'feature has no geometry'), (15, true, 0, 'uneven number of feature tags'), (16, true, 0, 'tag key index out of range'), (17, true, 0, 'tag value index out of range'), (18, true, 0, 'layer length overruns tile')) t(cls, error_detected, n_features, error)
         """,
+        "streaming_tile_counts": f"""
+            WITH ids AS (SELECT unnest(range(0, 1000)) AS i),
+            m0 AS (SELECT i, {_sm0} FROM ids),
+            m1 AS (SELECT i, {_sm1} FROM m0),
+            m2 AS (SELECT i, {_sm2} FROM m1),
+            m3 AS (SELECT i, {_sm3} FROM m2),
+            geo AS (SELECT i,
+              LEAST(len(list_filter({_cdf_l}, c -> c < u2)), 15) + 1 AS city1,
+              u3 + u4 + u5 - 1.5 AS n1, u6 + u7 + u8 - 1.5 AS n2,
+              u1, u9, u10 FROM m3),
+            pts AS (SELECT i,
+              CASE WHEN u1 < 0.8 THEN {_clat_l}[city1] + n1 * 0.05
+                   ELSE u9 * 170.1 - 85.05 END AS lat,
+              CASE WHEN u1 < 0.8 THEN {_clng_l}[city1] + n2 * 0.05
+                   ELSE u10 * 360.0 - 180.0 END AS lng
+              FROM geo),
+            t AS (SELECT
+                CAST(GREATEST(0, LEAST(63, FLOOR({gx6} / 4096))) AS INT) AS x,
+                CAST(GREATEST(0, LEAST(63, FLOOR({gy6} / 4096))) AS INT) AS y
+              FROM pts)
+            SELECT CAST(1699999800000000 AS BIGINT) AS window_start_us,
+              CAST(1700000100000000 AS BIGINT) AS window_end_us,
+              6 AS zoom, x, y, COUNT(*) AS image_count
+            FROM t GROUP BY x, y
+        """,
         "layers_index_scan": """
             WITH t AS (SELECT 2 AS zoom,
                 CAST(o_orderkey % 4 AS INT) AS x,
@@ -1678,6 +1770,26 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "dedup_groups": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, {_SHINGLES} AS s
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)),
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+            e(a, b) AS (SELECT doc_a, doc_b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+              UNION SELECT doc_a, doc_a FROM pairs
+              UNION SELECT doc_b, doc_b FROM pairs),
+            reach(a, b) AS (SELECT a, b FROM e
+              UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+            lab AS (SELECT a AS doc_id, MIN(b) AS gid FROM reach GROUP BY a)
+            SELECT doc_id, CAST(gid AS BIGINT) AS group_id,
+              CAST(cnt AS BIGINT) AS group_size
+            FROM lab JOIN (SELECT gid, COUNT(*) AS cnt FROM lab GROUP BY gid)
+              USING (gid)
         """,
         "embedding_cosine_pairs": """
             WITH e AS (

@@ -263,6 +263,70 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Dedup GROUPS from candidate pairs: iterative min-label
+    propagation over the undirected pair graph → (doc_id, group_id)
+    with group_id = the component's minimum doc id (the canonical
+    keeper). The step every near-dup pipeline needs after pair
+    generation — pairs alone over-remove (A~B, B~C must collapse to ONE
+    group, not two independent drops).
+
+    Shape per iteration: one equi-join (neighbor-min) + one left join —
+    both shuffles on the node id, fully distributed; the driver only
+    evaluates the scalar convergence count, exactly the Pregel loop
+    structure. LSH candidate components are near-cliques, so rounds ≈
+    graph diameter ≈ 2-3; ``max_iter`` bounds pathological chains (for
+    planet-scale graphs swap in large-star/small-star — same join
+    primitives, fewer rounds). Lineage is truncated each round with an
+    eager localCheckpoint so the plan doesn't grow with iterations."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+    )
+    labels = (
+        e.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.a, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("group_id"),
+            "group_size",
+        )
+    )
+
+
 def embedding_cosine_dups(
     emb: DataFrame, threshold: float = 0.95, sign_bits: int = 8
 ) -> DataFrame:

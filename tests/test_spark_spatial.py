@@ -270,3 +270,19 @@ def test_broadcast_rings_rejects_duplicate_tile_keys(spark):
     )
     with pytest.raises(ValueError, match="duplicate"):
         broadcast_rings(spark, dup)
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A~B, B~C must collapse into ONE group labeled min(id); disjoint
+    pair D~E stays its own group; chain propagation needs >1 round."""
+    from mvtspark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "doc_a long, doc_b long"
+    )
+    rows = {r.doc_id: (r.group_id, r.group_size)
+            for r in connected_components(edges).collect()}
+    assert rows == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 7: (1, 4),
+        10: (10, 2), 11: (10, 2),
+    }
