@@ -1036,6 +1036,23 @@ def layers_index_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stratified_sample_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling + train/eval split
+    (operators/sample.py), ORACLED: membership is a pure function of
+    md5(key) so DuckDB recomputes the exact surviving rows AND their
+    split labels — the property that makes backfills reproducible and
+    eval leakage impossible (random `df.sample` changes with
+    partitioning; this never does). Pure codegen'd filters, no
+    shuffle."""
+    from mvtspark.operators.sample import stratified_sample, train_eval_split
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    s = stratified_sample(
+        d, {"en": 0.5, "fr": 0.25, "de": 0.25}, default_frac=0.1
+    )
+    return train_eval_split(s, eval_frac=0.2).select("doc_id", "lang", "split")
+
+
 def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup GROUP assignment — candidate pairs (exact 3-gram Jaccard ≥
     0.5) collapsed into connected components by iterative min-label
@@ -1259,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layers_index_scan": layers_index_scan,
         "streaming_tile_counts": streaming_tile_counts,
         "dedup_groups": dedup_groups,
+        "stratified_sample_split": stratified_sample_split,
         "frame_sample": frame_sample,
         "thumbnail_resize": thumbnail_resize,
         "audio_window_features": audio_window_features,
@@ -1770,6 +1788,22 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "stratified_sample_split": """
+            WITH b AS (SELECT doc_id, lang,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  AS bucket,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                                   1, 8))::BIGINT AS sbucket
+              FROM documents)
+            SELECT doc_id, lang,
+              CASE WHEN sbucket < CAST(0.2 * 4294967296 AS BIGINT)
+                   THEN 'eval' ELSE 'train' END AS split
+            FROM b
+            WHERE bucket < CAST(
+              CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
+                        WHEN 'de' THEN 0.25 ELSE 0.1 END
+              * 4294967296 AS BIGINT)
         """,
         "dedup_groups": f"""
             WITH RECURSIVE sh AS (
