@@ -1053,6 +1053,48 @@ def stratified_sample_split(spark: SparkSession, sf: str) -> DataFrame:
     return train_eval_split(s, eval_frac=0.2).select("doc_id", "lang", "split")
 
 
+def streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState —
+    SURVEY §2.9/2.10's arbitrary-state surface), driver-visible and
+    ORACLED: a per-tile running total accumulates in the state store
+    across two micro-batches (ids 0..999 then 1000..1499, one file per
+    trigger); the monotone counter's MAX per tile must equal the
+    relational per-tile count of all 1500 splitmix64 geotags."""
+    import tempfile
+    import uuid as _uuid
+
+    from mvtspark.sources.images import synth_points
+    from mvtspark.streaming import file_points_stream, stream_running_tile_totals
+
+    base = tempfile.mkdtemp(prefix="mvtspark_statq_")
+    pts = synth_points(spark, 1500).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000))
+    )
+    pts.where(F.col("image_id") < "img000000001000").coalesce(1).write.mode(
+        "append"
+    ).parquet(base + "/in")
+    pts.where(F.col("image_id") >= "img000000001000").coalesce(1).write.mode(
+        "append"
+    ).parquet(base + "/in")
+
+    stream = file_points_stream(spark, base + "/in", max_files_per_trigger=1)
+    totals = stream_running_tile_totals(stream, zoom=6)
+    name = "statq_" + _uuid.uuid4().hex[:8]
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.table(name)
+        .groupBy("zoom", "x", "y")
+        .agg(F.max("total").alias("total"))
+    )
+
+
 def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup GROUP assignment — candidate pairs (exact 3-gram Jaccard ≥
     0.5) collapsed into connected components by iterative min-label
@@ -1277,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tile_counts": streaming_tile_counts,
         "dedup_groups": dedup_groups,
         "stratified_sample_split": stratified_sample_split,
+        "streaming_stateful_totals": streaming_stateful_totals,
         "frame_sample": frame_sample,
         "thumbnail_resize": thumbnail_resize,
         "audio_window_features": audio_window_features,
@@ -1623,6 +1666,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT cls, error_detected, CAST(n_features AS BIGINT) AS n_features,
                    error
             FROM (VALUES (0, false, 1, CAST(NULL AS VARCHAR)), (1, true, 0, 'tile data is empty'), (2, true, 0, 'tile data is gzipped'), (3, true, 0, 'truncated varint'), (4, true, 0, 'unsupported wire type 3'), (5, true, 0, 'tag out of range: 0'), (6, true, 0, 'unknown tile tag 1'), (7, true, 0, 'unsupported layer version 1'), (8, true, 0, 'layer missing name'), (9, true, 0, 'layer has no features'), (10, true, 0, 'layer has invalid extent 0'), (11, true, 0, 'duplicate layer name layer_name'), (12, true, 0, 'layer values are not distinct'), (13, true, 0, 'feature has no geometry type'), (14, true, 0, 'feature has no geometry'), (15, true, 0, 'uneven number of feature tags'), (16, true, 0, 'tag key index out of range'), (17, true, 0, 'tag value index out of range'), (18, true, 0, 'layer length overruns tile')) t(cls, error_detected, n_features, error)
+        """,
+        "streaming_stateful_totals": f"""
+            WITH ids AS (SELECT unnest(range(0, 1500)) AS i),
+            m0 AS (SELECT i, {_sm0} FROM ids),
+            m1 AS (SELECT i, {_sm1} FROM m0),
+            m2 AS (SELECT i, {_sm2} FROM m1),
+            m3 AS (SELECT i, {_sm3} FROM m2),
+            geo AS (SELECT i,
+              LEAST(len(list_filter({_cdf_l}, c -> c < u2)), 15) + 1 AS city1,
+              u3 + u4 + u5 - 1.5 AS n1, u6 + u7 + u8 - 1.5 AS n2,
+              u1, u9, u10 FROM m3),
+            pts AS (SELECT i,
+              CASE WHEN u1 < 0.8 THEN {_clat_l}[city1] + n1 * 0.05
+                   ELSE u9 * 170.1 - 85.05 END AS lat,
+              CASE WHEN u1 < 0.8 THEN {_clng_l}[city1] + n2 * 0.05
+                   ELSE u10 * 360.0 - 180.0 END AS lng
+              FROM geo),
+            t AS (SELECT
+                CAST(GREATEST(0, LEAST(63, FLOOR({gx6} / 4096))) AS INT) AS x,
+                CAST(GREATEST(0, LEAST(63, FLOOR({gy6} / 4096))) AS INT) AS y
+              FROM pts)
+            SELECT 6 AS zoom, x, y, COUNT(*) AS total
+            FROM t GROUP BY x, y
         """,
         "streaming_tile_counts": f"""
             WITH ids AS (SELECT unnest(range(0, 1000)) AS i),

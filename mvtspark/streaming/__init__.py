@@ -1,7 +1,13 @@
 from .pipeline import (
     file_points_stream,
     stream_encode_sink,
+    stream_running_tile_totals,
     stream_tile_counts,
 )
 
-__all__ = ["file_points_stream", "stream_tile_counts", "stream_encode_sink"]
+__all__ = [
+    "file_points_stream",
+    "stream_tile_counts",
+    "stream_encode_sink",
+    "stream_running_tile_totals",
+]

@@ -121,3 +121,42 @@ def stream_encode_sink(
             tiles.unpersist()
 
     return points.writeStream.foreachBatch(_batch).outputMode("update")
+
+
+def stream_running_tile_totals(points: DataFrame, zoom: int) -> DataFrame:
+    """CUSTOM STATEFUL operator via ``applyInPandasWithState`` (the
+    arbitrary-state surface the windowed aggs can't express): a running
+    per-tile point total that survives across micro-batches in the state
+    store. Each update emits the tile's new cumulative total, so the
+    sink sees a monotone counter per tile (downstream takes MAX for the
+    final value).
+
+    State is one int64 per live tile — bounded by the distinct-tile
+    count, not the stream length; at planet scale pair with a timeout
+    (GroupStateTimeout.ProcessingTimeTimeout + state.setTimeoutDuration)
+    to expire cold tiles. Grouping key is the tile address, so state
+    shuffles exactly like the batch per-tile aggregation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    assigned = assign_tiles(points, zoom=zoom)
+
+    def _update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "zoom": [key[0]], "x": [key[1]], "y": [key[2]],
+                "total": [total],
+            }
+        )
+
+    return assigned.groupBy("zoom", "x", "y").applyInPandasWithState(
+        _update,
+        outputStructType="zoom int, x int, y int, total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

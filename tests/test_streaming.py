@@ -105,3 +105,64 @@ def test_stream_encode_sink_writes_tiles_and_lineage(spark, points_dir, tmp_path
     assert (
         lineage.agg(F.sum("row_count")).collect()[0][0] == tiles.count()
     )
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a tile hit in BOTH micro-batches must
+    emit two updates with a growing total (state survived the batch
+    boundary); final MAX per tile equals the batch-side count."""
+    import uuid
+
+    from mvtspark.streaming import file_points_stream, stream_running_tile_totals
+    from mvtspark.operators.spatial import assign_tiles
+
+    path = str(tmp_path / "in")
+    pts = synth_points(spark, 800).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000))
+    )
+    b1 = pts.where(F.col("image_id") < "img000000000400")
+    b2 = pts.where(F.col("image_id") >= "img000000000400")
+    b1.coalesce(1).write.mode("append").parquet(path)
+    b2.coalesce(1).write.mode("append").parquet(path)
+
+    stream = file_points_stream(spark, path, max_files_per_trigger=1)
+    name = "stt_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_running_tile_totals(stream, zoom=4)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.table(name)
+    # at zoom 4 the city clusters guarantee tiles present in both halves:
+    # those tiles emit one update per batch, the second strictly larger
+    multi = (
+        emitted.groupBy("zoom", "x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("n_updates"),
+            F.max("total").alias("final"),
+            F.min("total").alias("first"),
+        )
+        .where(F.col("n_updates") >= 2)
+    )
+    rows = multi.collect()
+    assert rows, "no tile saw more than one micro-batch"
+    assert all(r.final > r.first for r in rows)
+    # final totals match the batch-side truth
+    batch_counts = {
+        (r.zoom, r.x, r.y): r.cnt
+        for r in assign_tiles(pts, zoom=4)
+        .groupBy("zoom", "x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    finals = {
+        (r.zoom, r.x, r.y): r.final
+        for r in emitted.groupBy("zoom", "x", "y")
+        .agg(F.max("total").alias("final"))
+        .collect()
+    }
+    assert finals == batch_counts
