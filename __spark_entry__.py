@@ -1036,6 +1036,18 @@ def layers_index_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters (boilerplate / degenerate text):
+    duplicate-line fraction, duplicate-3-gram fraction, and the top
+    token's share — the latter via a single native `aggregate` fold over
+    the sorted token array (longest equal run), so the whole operator is
+    shuffle-free codegen. ORACLED: DuckDB recomputes all three signals
+    relationally (the top-token share via unnest + group-max)."""
+    from mvtspark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
 def stratified_sample_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified sampling + train/eval split
     (operators/sample.py), ORACLED: membership is a pure function of
@@ -1320,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": dedup_groups,
         "stratified_sample_split": stratified_sample_split,
         "streaming_stateful_totals": streaming_stateful_totals,
+        "repetition_quality": repetition_quality,
         "frame_sample": frame_sample,
         "thumbnail_resize": thumbnail_resize,
         "audio_window_features": audio_window_features,
@@ -1854,6 +1867,26 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "repetition_quality": """
+            WITH base AS (SELECT doc_id, text,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+                string_split(text, chr(10)) AS lines
+              FROM documents),
+            g AS (SELECT doc_id,
+                [array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, GREATEST(len(toks) - 2, 1) + 1)] AS grams
+              FROM base),
+            tw AS (SELECT doc_id, unnest(toks) AS w FROM base),
+            tc AS (SELECT doc_id, w, COUNT(*) AS n FROM tw GROUP BY 1, 2),
+            tm AS (SELECT doc_id, MAX(n) AS mx FROM tc GROUP BY 1)
+            SELECT b.doc_id,
+              ROUND((len(lines) - len(list_distinct(lines)))
+                    / GREATEST(len(lines), 1), 6) AS dup_line_frac,
+              ROUND((len(grams) - len(list_distinct(grams)))
+                    / GREATEST(len(grams), 1), 6) AS dup_3gram_frac,
+              ROUND(tm.mx / GREATEST(len(toks), 1), 6) AS top_token_frac
+            FROM base b JOIN g USING (doc_id) JOIN tm USING (doc_id)
         """,
         "stratified_sample_split": """
             WITH b AS (SELECT doc_id, lang,

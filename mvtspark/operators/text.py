@@ -120,3 +120,59 @@ def analyze(docs: DataFrame) -> DataFrame:
             "lang_pred": F.when(sh / nw >= 0.05, F.lit("en")).otherwise(F.lit("und")),
         }
     ).drop("_n_chars", "_n_words", "_punct", "_stop_hits")
+
+
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (boilerplate / degenerate-text
+    filters), all native folds — no shuffle, no Python:
+
+    - dup_line_frac:   fraction of non-unique lines
+    - dup_3gram_frac:  fraction of non-unique 3-token shingles
+    - top_token_frac:  share of the single most frequent token, computed
+      as the longest equal-run over the SORTED token array via one
+      `aggregate` fold (avoids the explode+groupBy shuffle a count-map
+      would need)
+    """
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    lines = F.split(text, "\n")
+    nl = F.size(lines)
+    dup_line = (nl - F.size(F.array_distinct(lines))) / F.greatest(nl, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    ng = F.size(grams)
+    dup_gram = (ng - F.size(F.array_distinct(grams))) / F.greatest(ng, F.lit(1))
+    sorted_toks = F.array_sort(toks)
+    run = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    top_tok = run / F.greatest(n, F.lit(1))
+    return {
+        "dup_line_frac": F.round(dup_line, 6),
+        "dup_3gram_frac": F.round(dup_gram, 6),
+        "top_token_frac": F.round(top_tok, 6),
+    }
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id", *[
+            c.alias(k) for k, c in repetition_cols(F.col(text_col)).items()
+        ]
+    )

@@ -49,3 +49,24 @@ def test_bucket_matches_md5_prefix(spark):
     for r in rows:
         exp = int(hashlib.md5(str(r.id).encode()).hexdigest()[:8], 16)
         assert r.b == exp
+
+
+def test_repetition_signals_on_crafted_docs(spark):
+    """Repetition filters must actually fire: a degenerate doc (one
+    token repeated) maxes all three signals; distinct text scores ~0."""
+    from mvtspark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "line one\nline one\nline two"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in repetition_stats(docs).collect()}
+    assert r[1].top_token_frac == 1.0
+    assert r[1].dup_3gram_frac > 0.5
+    assert r[2].dup_3gram_frac == 0.0 and r[2].dup_line_frac == 0.0
+    assert abs(r[2].top_token_frac - 1 / 6) < 1e-6
+    assert abs(r[3].dup_line_frac - 1 / 3) < 1e-6
