@@ -1036,6 +1036,59 @@ def layers_index_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _phash_corpus(spark: SparkSession) -> DataFrame:
+    """120 synthetic images with PLANTED near-duplicates: every id with
+    i%5==4 is replaced by a lightly perturbed copy of image i-4 (12
+    pixels nudged by +8), so the pHash pair stage has true positives to
+    find. Deterministic end-to-end."""
+    from mvtspark.sources.images import synth_images
+
+    imgs = synth_images(spark, 120, with_bytes=True)
+
+    def _plant(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mvtspark.kernels.image import decode_image, encode_raw, synth_image
+
+        cols = ["image_id", "bytes", "w", "h", "fmt"]
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                i = int(row.image_id[3:])
+                if i % 5 == 4:
+                    data, w, h, fmt = synth_image(i - 4)
+                    img = decode_image(data, w, h, fmt).copy()
+                    rng = np.random.default_rng(i)
+                    ys = rng.integers(0, img.shape[0], 12)
+                    xs = rng.integers(0, img.shape[1], 12)
+                    img[ys, xs] = ((img[ys, xs].astype(np.int64) + 8) % 256).astype(np.uint8)
+                    rows.append(dict(image_id=row.image_id,
+                                     bytes=encode_raw(img), w=w, h=h, fmt="raw"))
+                else:
+                    rows.append(dict(image_id=row.image_id, bytes=bytes(row.bytes),
+                                     w=int(row.w), h=int(row.h), fmt=row.fmt))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return imgs.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _plant, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def image_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal near-dup pairing: pHash recomputed FROM BYTES
+    (decode → 32x32 DCT → median bits) then the SAME banded hamming
+    blocking as the text side (hamming_band_pairs; 8x8-bit bands, exact
+    pigeonhole recall for hamming <= 7) — never an image x image cross
+    join. ORACLED: the per-image pHashes are frozen constants (like the
+    S2 goldens — a regression in grayscale/resize/DCT/median flips
+    them) and the banding + hamming pair derivation is recomputed
+    relationally in DuckDB on those constants."""
+    from mvtspark.operators.multimodal import phash_near_dup_pairs
+
+    return phash_near_dup_pairs(_phash_corpus(spark), max_hamming=6)
+
+
 def repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition filters (boilerplate / degenerate text):
     duplicate-line fraction, duplicate-3-gram fraction, and the top
@@ -1333,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_split": stratified_sample_split,
         "streaming_stateful_totals": streaming_stateful_totals,
         "repetition_quality": repetition_quality,
+        "image_phash_pairs": image_phash_pairs,
         "frame_sample": frame_sample,
         "thumbnail_resize": thumbnail_resize,
         "audio_window_features": audio_window_features,
@@ -1867,6 +1921,29 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "image_phash_pairs": """
+            WITH ph(image_id, h) AS (VALUES ('img000000000000', 9016726982919528875), ('img000000000001', 5708472325057335647), ('img000000000002', -6779996151060514397), ('img000000000003', -3651212388781754085), ('img000000000004', 9016726982919528875), ('img000000000005', 8793726333409246419), ('img000000000006', 5223246024522775209), ('img000000000007', -694448163259312275), ('img000000000008', 4811434998882355183), ('img000000000009', 8793726333409246419), ('img000000000010', -8242773393010238623), ('img000000000011', 5712453501626230521), ('img000000000012', 5730095223234384623), ('img000000000013', 4655570624631070125), ('img000000000014', -8247241808265520287), ('img000000000015', 2629302682123514465), ('img000000000016', 4253140804959090619), ('img000000000017', 4122501534993909627), ('img000000000018', 1808854458802018729), ('img000000000019', 2629302682123514465), ('img000000000020', -8667458531352848645), ('img000000000021', 3158815803084112057), ('img000000000022', 4720814679370714593), ('img000000000023', 8803899961590941785), ('img000000000024', -8667317793931602181), ('img000000000025', 5997997671140337411), ('img000000000026', -633173502533377879), ('img000000000027', -2417264740711659661), ('img000000000028', 8171512435652349419), ('img000000000029', 5997997671140337411), ('img000000000030', 3926308543198283461), ('img000000000031', -2527442786030052687), ('img000000000032', -3074123044204260949), ('img000000000033', -4493124122522274889), ('img000000000034', 3926308543198283461), ('img000000000035', 6718002454383600081), ('img000000000036', -8526008186446964817), ('img000000000037', 4103249315517592639), ('img000000000038', 225980368816360403), ('img000000000039', 6718002454383600081), ('img000000000040', -3430944164001299265), ('img000000000041', -3105071359789187159), ('img000000000042', 7405776603464541715), ('img000000000043', -5270050258080621767), ('img000000000044', -3431014532745476865), ('img000000000045', -8405442749749337467), ('img000000000046', 5984006137394957227), ('img000000000047', 3729831942748319393), ('img000000000048', 5704536422530440171), ('img000000000049', -8405442749749337467), ('img000000000050', 9152646098427587015), ('img000000000051', 1008610075066335525), ('img000000000052', -6282129827632140049), ('img000000000053', -7952579496958717953), ('img000000000054', 9152646102688999879), ('img000000000055', -7260775488295132449), ('img000000000056', -5032608410142799633), ('img000000000057', -8843200515006861787), ('img000000000058', -4410765476072818071), ('img000000000059', -7260775488294542641), ('img000000000060', -1741141862786266897), ('img000000000061', -9199441203081951305), ('img000000000062', -1026206367062299943), ('img000000000063', -233338904286808221), ('img000000000064', -1741141862652051217), ('img000000000065', 1094851385721760219), ('img000000000066', 953964510816218407), ('img000000000067', -8543025917378939923), ('img000000000068', 1907023680681610411), ('img000000000069', 986764994664868315), ('img000000000070', -5423908855534496199), ('img000000000071', -8950656325304901135), ('img000000000072', 8390138232188200703), ('img000000000073', 3047455488833498243), ('img000000000074', -5423908855534496199), ('img000000000075', 6928780347113911379), ('img000000000076', -8930686498845424965), ('img000000000077', -3978781038675121999), ('img000000000078', -6115728573854016101), ('img000000000079', 6928780347113911379), ('img000000000080', 2566710604344300395), ('img000000000081', 4454142536004277565), ('img000000000082', -5668303836386191927), ('img000000000083', 6186329221236158769), ('img000000000084', 2566710621457060715), ('img000000000085', -9184693838201397411), ('img000000000086', -1113712123625227723), ('img000000000087', 7239139348537761515), ('img000000000088', 2984824470696514559), ('img000000000089', -9184623538174599331), ('img000000000090', -8566061129522188601), ('img000000000091', -6798384966122480597), ('img000000000092', 203683008017210283), ('img000000000093', -659537518702855159), ('img000000000094', -8566061129522188601), ('img000000000095', -6391032245587712985), ('img000000000096', 4976688022369833915), ('img000000000097', 4162537443798096863), ('img000000000098', 5468563923055429481), ('img000000000099', -6391032245587712985), ('img000000000100', -8005679655390776149), ('img000000000101', 7030252562152223605), ('img000000000102', -5096731247889260319), ('img000000000103', -6885865513393676749), ('img000000000104', -8005679655390776149), ('img000000000105', -971208043094746719), ('img000000000106', -5217191073562987189), ('img000000000107', 8411649208074967421), ('img000000000108', -4491094595792070913), ('img000000000109', -971208043094746719), ('img000000000110', -4428745299340616095), ('img000000000111', 7261720661584012437), ('img000000000112', 5128196651169640363), ('img000000000113', 5590402428113592821), ('img000000000114', -4428745299340616095), ('img000000000115', -2499407851109069963), ('img000000000116', 163252949838509243), ('img000000000117', 495808659759476015), ('img000000000118', -5163596812087967787), ('img000000000119', -2499372683916850315)),
+            u AS (SELECT image_id, h,
+                CASE WHEN h < 0 THEN CAST(h AS HUGEINT)
+                     + CAST('18446744073709551616' AS HUGEINT)
+                     ELSE CAST(h AS HUGEINT) END AS uh FROM ph),
+            banded AS (SELECT image_id, h, d.band,
+                CAST((uh // d.dv) % 256 AS BIGINT) AS band_val
+              FROM u CROSS JOIN (SELECT unnest(range(0, 8)) AS band,
+                unnest([CAST(1 AS HUGEINT), CAST(256 AS HUGEINT),
+                  CAST(65536 AS HUGEINT), CAST(16777216 AS HUGEINT),
+                  CAST(4294967296 AS HUGEINT), CAST(1099511627776 AS HUGEINT),
+                  CAST(281474976710656 AS HUGEINT),
+                  CAST(72057594037927936 AS HUGEINT)]) AS dv) d),
+            pairs AS (SELECT DISTINCT l.image_id AS image_a,
+                r.image_id AS image_b, l.h AS ha, r.h AS hb
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.band_val = r.band_val
+                   AND l.image_id < r.image_id)
+            SELECT image_a, image_b,
+              CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+            FROM pairs WHERE bit_count(xor(ha, hb)) <= 6
         """,
         "repetition_quality": """
             WITH base AS (SELECT doc_id, text,

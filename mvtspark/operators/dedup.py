@@ -190,39 +190,67 @@ def simhash_udf():
     return _f
 
 
-def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs within hamming distance ``max_hamming``.
-
-    Blocking: split the 64-bit hash into 4 × 16-bit bands; any pair with
-    hamming <= 3 matches exactly on >= 1 band (pigeonhole). Join per band
-    (equi-join), then exact popcount verify.
-    """
-    sims = docs.select("doc_id", simhash_udf()(F.col("text")).alias("simhash"))
-    banded = sims.select(
-        "doc_id",
-        "simhash",
+def hamming_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    bands: int = 4,
+) -> DataFrame:
+    """Generic 64-bit hamming-ball candidate pairing by band blocking
+    (Charikar pigeonhole): split the hash into ``bands`` equal bit
+    slices; any pair within hamming distance ``bands - 1`` shares at
+    least one band EXACTLY, so the equi-join on (band, band_val) has
+    perfect recall for ``max_hamming <= bands - 1`` (asserted). One
+    shuffle keyed by the band bucket — never an all-pairs join. Shared
+    by simhash (text) and pHash (image) near-dup pairing."""
+    assert max_hamming <= bands - 1, "pigeonhole recall needs bands > hamming"
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                        F.shiftright(hash_col, width * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
                     )
-                    for b in range(4)
+                    for b in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.band_val")
-    l = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_val")
-    r = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_val")
-    pairs = (
-        l.join(r, ["band", "band_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-        .where(F.col("hamming") <= max_hamming)
+    ).select("id", "h", "bk.band", "bk.band_val")
+    l = banded.select(
+        F.col("id").alias("id_a"), F.col("h").alias("h_a"), "band", "band_val"
     )
-    return pairs.select("doc_a", "doc_b", "hamming")
+    r = banded.select(
+        F.col("id").alias("id_b"), F.col("h").alias("h_b"), "band", "band_val"
+    )
+    return (
+        l.join(r, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance ``max_hamming``.
+
+    Blocking: 4 × 16-bit bands via :func:`hamming_band_pairs` (exact
+    recall for hamming <= 3), then exact popcount verify.
+    """
+    sims = docs.select("doc_id", simhash_udf()(F.col("text")).alias("simhash"))
+    return hamming_band_pairs(sims, "doc_id", "simhash", max_hamming).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
 
 
 def ngram_jaccard_pairs(

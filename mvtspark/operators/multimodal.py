@@ -196,3 +196,58 @@ def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:
     return audio.mapInPandas(
         _feat, schema="audio_id string, win_idx int, rms double, zcr double"
     )
+
+
+def compute_phash(images: DataFrame) -> DataFrame:
+    """Recompute the 64-bit perceptual hash FROM BYTES (decode → 32x32
+    grayscale DCT → median-threshold; kernels/image.py::phash64) —
+    the operator a pipeline runs on ingested images, as opposed to
+    trusting a stored phash column. Vectorized per batch; undecodable
+    rows carry the error instead of failing the job."""
+
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mvtspark.kernels.image import decode_image, phash64
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    img = decode_image(
+                        bytes(row.bytes), int(row.w), int(row.h), row.fmt
+                    )
+                    out.append(
+                        dict(image_id=row.image_id,
+                             phash=phash64(img),  # already signed int64
+                             error=None)
+                    )
+                except Exception as e:
+                    out.append(
+                        dict(image_id=row.image_id, phash=None, error=str(e))
+                    )
+            yield pd.DataFrame(out, columns=["image_id", "phash", "error"])
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _ph, schema="image_id string, phash long, error string"
+    )
+
+
+def phash_near_dup_pairs(
+    images: DataFrame, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """Image near-dup candidate pairs: recomputed pHash + the SAME
+    banded hamming blocking the text side uses
+    (operators/dedup.py::hamming_band_pairs — 8 x 8-bit bands give
+    exact pigeonhole recall for hamming <= 7). One band-bucket shuffle,
+    never an image x image cross join."""
+    from .dedup import hamming_band_pairs
+
+    ph = compute_phash(images).where(F.col("error").isNull())
+    return hamming_band_pairs(
+        ph, "image_id", "phash", max_hamming, bands=bands
+    ).select(
+        F.col("id_a").alias("image_a"),
+        F.col("id_b").alias("image_b"),
+        "hamming",
+    )
