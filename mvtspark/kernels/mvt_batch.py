@@ -828,6 +828,10 @@ def layers_index(blobs: list) -> tuple[list, list, list, dict]:
             buf = memoryview(data)
             pos, n = 0, len(buf)
             seen: set[str] = set()
+            # staged: an error on a later layer must not leave earlier
+            # index rows for a tile that also gets an error row
+            tt: list[str] = []
+            tc: list[int] = []
             while pos < n:
                 tag, wt, pos = read_key(buf, pos)
                 if tag != mk.T_LAYERS:
@@ -856,9 +860,11 @@ def layers_index(blobs: list) -> tuple[list, list, list, dict]:
                 if name in seen:
                     raise mk.MvtError(f"duplicate layer name {name}")
                 seen.add(name)
-                t_out.append(ti)
-                n_out.append(name)
-                c_out.append(nfeat)
+                tt.append(name)
+                tc.append(nfeat)
+            t_out.extend([ti] * len(tt))
+            n_out.extend(tt)
+            c_out.extend(tc)
         except Exception as e:
             errs[ti] = str(e)
     return t_out, n_out, c_out, errs
@@ -917,6 +923,17 @@ def decode_tile_rows(
             buf = memoryview(data)
             buf_id = len(bufs)
             seen_names: set[str] = set()
+            # STAGED per-tile records: committed to lay_* only after the
+            # whole tile walks cleanly — an exception on a LATER layer
+            # (duplicate name, overrun) must not leave earlier layers
+            # referencing a buf_id that bufs.append never backs (that
+            # decoded features from the NEXT tile's bytes, or crashed
+            # the whole batch)
+            t_name: list[str] = []
+            t_ext: list[int] = []
+            t_keys: list[list[str]] = []
+            t_vals: list[list] = []
+            t_fs: list[list[tuple[int, int]]] = []
             pos, n = 0, len(buf)
             while pos < n:
                 tag, wt, pos = read_key(buf, pos)
@@ -973,13 +990,19 @@ def decode_tile_rows(
                 if name in seen_names:
                     raise mk.MvtError(f"duplicate layer name {name}")
                 seen_names.add(name)
-                lay_tile.append(ti)
-                lay_buf.append(buf_id)
-                lay_name.append(name)
-                lay_ext.append(extent)
-                lay_keys.append(keys)
-                lay_vals.append(values)
-                lay_fs.append(fspans)
+                t_name.append(name)
+                t_ext.append(extent)
+                t_keys.append(keys)
+                t_vals.append(values)
+                t_fs.append(fspans)
+            # commit the whole tile atomically
+            lay_tile.extend([ti] * len(t_name))
+            lay_buf.extend([buf_id] * len(t_name))
+            lay_name.extend(t_name)
+            lay_ext.extend(t_ext)
+            lay_keys.extend(t_keys)
+            lay_vals.extend(t_vals)
+            lay_fs.extend(t_fs)
             bufs.append(np.frombuffer(data, dtype=np.uint8))
         except Exception as e:  # lenient: tile-level error row
             err_tiles[ti] = str(e)
@@ -988,6 +1011,11 @@ def decode_tile_rows(
     counts = np.fromiter(
         (len(f) for f in lay_fs), dtype=np.int64, count=nlayers
     )
+    if flat and typed_props:
+        raise ValueError(
+            "decode_tile_rows: flat mode does not carry props_t — "
+            "use the pandas path for typed properties"
+        )
     nfeat = int(counts.sum())
     if flat:
         empty = (

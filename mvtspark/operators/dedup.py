@@ -344,6 +344,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent truncation would split components (over-removal in
+        # dedup) — fail loudly; callers with pathological diameters
+        # raise max_iter or switch to large-star/small-star
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing)"
+        )
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("group_size"))
     return (
         labels.join(sizes, "lbl")

@@ -708,11 +708,21 @@ def to_geojson(features: DataFrame) -> DataFrame:
                     pairs = json.loads(row.props)
                     if pairs:
                         # ref stringifies every value: True/False for
-                        # bools (C# Object.ToString), invariant numbers
+                        # bools (C# Object.ToString), invariant numbers.
+                        # One divergence: the reference interpolates RAW
+                        # strings (VectorTile.cs:68-72), which emits
+                        # invalid JSON for values containing quotes /
+                        # backslashes / control chars — we JSON-escape
+                        # (identical bytes for clean strings, so the
+                        # template-parity goldens still hold).
                         kv = "," + ",".join(
-                            f'"{k}":"{v}"' for k, v in pairs.items()
+                            f"{json.dumps(k)}:{json.dumps(str(v))}"
+                            for k, v in pairs.items()
                         )
-                props = f'{{"id":{int(row.feature_id)},"lyr":"{row.layer}"{kv}}}'
+                props = (
+                    f'{{"id":{int(row.feature_id)},'
+                    f'"lyr":{json.dumps(row.layer)}{kv}}}'
+                )
                 feats.append(
                     f'{{"type":"Feature","geometry":{{"type":"{gjt}",'
                     f'"coordinates":[{coords}]}},"properties":{props}}}'

@@ -128,3 +128,20 @@ def test_world_corner_lat_values(spark):
     lat = 360.0 / math.pi * math.atan(math.exp(math.pi)) - 90.0
     assert f'"coordinates":[-180,{fmt(lat)}]' in doc
     assert abs(lat - 85.0511287798066) < 1e-10
+
+
+def test_property_strings_are_json_escaped(spark):
+    """Documented divergence from the reference's raw interpolation:
+    quotes/backslashes/control chars in property values or layer names
+    must yield VALID JSON (the reference would emit a malformed doc)."""
+    import json as _json
+
+    rows = [
+        (0, 0, 0, 'we"ird\\lyr', 4096, 1, 1, [0, 1], [2048], [2048],
+         _json.dumps({'k"1': 'say "hi"\n'}), None),
+    ]
+    doc = to_geojson(_features_df(spark, rows)).collect()[0].geojson
+    parsed = _json.loads(doc)  # must not raise
+    props = parsed["features"][0]["properties"]
+    assert props["lyr"] == 'we"ird\\lyr'
+    assert props['k"1'] == 'say "hi"\n'

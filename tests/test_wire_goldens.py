@@ -388,3 +388,26 @@ def test_decode_tiles_layer_filter_dataframe(spark):
     only = decode_tiles(tiles, layers={"layer_name"}).collect()
     assert [r.layer for r in only] == ["layer_name"]
     assert only[0].feature_id == 123
+
+
+def test_batch_decode_mid_walk_error_commits_no_partial_layers():
+    """A tile that errors on a LATER layer (duplicate name) must emit
+    ONLY its error row — previously its already-walked first layer was
+    committed pointing at an unbacked buffer id, decoding features from
+    the NEXT tile's bytes (or crashing the batch on IndexError)."""
+    dup = GOLDEN_TWO_LAYERS + bytes([0x1A, len(_LAYER_D_BODY)]) + _LAYER_D_BODY
+    # order 1: bad tile first — previously leaked a garbage feature row
+    out = mvt_batch.decode_tile_rows([dup, GOLDEN_SINGLE_POINT])
+    tidx, errs = out[0], out[9]
+    assert set(errs) == {0} and "duplicate" in errs[0]
+    assert set(tidx) == {1}
+    # order 2: bad tile last — previously raised IndexError (batch kill)
+    out2 = mvt_batch.decode_tile_rows([GOLDEN_SINGLE_POINT, dup])
+    assert set(out2[9]) == {1} and set(out2[0]) == {0}
+    # flat (arrow) path: same contract
+    out3 = mvt_batch.decode_tile_rows([GOLDEN_SINGLE_POINT, dup], flat=True)
+    assert set(out3[11]) == {1} and set(out3[0].tolist()) == {0}
+    # layers_index: no partial index rows for the errored tile
+    t, n, c, e = mvt_batch.layers_index([dup, GOLDEN_TWO_LAYERS])
+    assert set(e) == {0}
+    assert t == [1, 1] and n == ["poly", "layer_name"]

@@ -113,8 +113,10 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
-            s_tbl = sdf.toArrow()
-            srows = [tuple(r) for r in sdf.collect()]
+            s_tbl = sdf.toArrow()  # single execution; rows derived below
+            srows = [
+                tuple(d[c] for c in scols) for d in s_tbl.to_pylist()
+            ]
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
@@ -129,7 +131,9 @@ def main():
             rel = con.sql(oracles[name])
             ocols = rel.columns
             o_tbl = rel.fetch_arrow_table()
-            orows = [tuple(r) for r in con.sql(oracles[name]).fetchall()]
+            orows = [
+                tuple(d[c] for c in ocols) for d in o_tbl.to_pylist()
+            ]
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL  {name}: oracle error: {e}")
