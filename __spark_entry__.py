@@ -21,6 +21,7 @@ Engine precision discipline for oracle parity:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1333,6 +1334,56 @@ def audio_window_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def hex_cell_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule H3-side hex index (functions/hexgrid.py), ORACLED: the
+    full lat/lng → axial → cube-round → packed-id pipeline at two
+    resolutions PLUS the centroid-hierarchy parent (res 8 → 7) is
+    recomputed op-for-op in DuckDB SQL. Pure native columns — the cell
+    key is codegen arithmetic inside the scan stage, no UDF (the shape
+    that makes the join key free at 100 TB)."""
+    from mvtspark.functions import hexgrid as hx
+
+    pts = _event_points(spark, sf)
+    h8 = hx.hex_cell(F.col("lng"), F.col("lat"), 8)
+    return pts.select(
+        "event_id",
+        h8.alias("h8"),
+        hx.hex_cell(F.col("lng"), F.col("lat"), 6).alias("h6"),
+        hx.hex_parent(h8, 7).alias("h7p"),
+    )
+
+
+def hex_kring_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Hex cover-join: per-site event counts within hex distance 2 at
+    res 5, ORACLED. Spark explodes the 19-cell k-ring on the SMALL side
+    (25 sites × 19 cells, broadcast) and equi-joins the big side on its
+    bare cell id — one broadcast hash join, no shuffle of the fact
+    table, the H3-style kRing join shape. The oracle takes a DIFFERENT
+    plan (distance-predicate θ-join on axial coords) and must land on
+    identical rows."""
+    from mvtspark.functions import hexgrid as hx
+
+    pts = _event_points(spark, sf).select(
+        "event_id", hx.hex_cell(F.col("lng"), F.col("lat"), 5).alias("cell")
+    )
+    sites = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("site_id"),
+        (F.col("n_nationkey") * 14.0 - 170.0).alias("lng"),
+        (F.col("n_nationkey") * 6.0 - 70.0).alias("lat"),
+    )
+    ring = sites.select(
+        "site_id",
+        F.explode(
+            hx.hex_ring_cells(hx.hex_cell(F.col("lng"), F.col("lat"), 5), 2)
+        ).alias("cell"),
+    )
+    return (
+        pts.join(F.broadcast(ring), "cell")
+        .groupBy("site_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1390,6 +1441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": frame_sample,
         "thumbnail_resize": thumbnail_resize,
         "audio_window_features": audio_window_features,
+        "hex_cell_keys": hex_cell_keys,
+        "hex_kring_counts": hex_kring_counts,
     }
 
 
@@ -1409,6 +1462,34 @@ _EVENT_PTS = (
 )
 
 
+def _hex_sql(src: str, idcol: str, res: int, out: str) -> str:
+    """CTE chain recomputing functions/hexgrid.py's cell id op-for-op:
+    relation ``src`` must expose (idcol, wx, wy) in the zoom-0 mercator
+    world frame; emits ``{out}`` with (idcol, cell, q, r). Constants are
+    repr()'d Python doubles so DuckDB parses the exact same values."""
+    import math as _m
+
+    a, b, c = repr(_m.sqrt(3.0) / 3.0), repr(1.0 / 3.0), repr(2.0 / 3.0)
+    inv = repr(2.0 ** (res - 10))
+    return f"""
+      {out}_f AS (SELECT {idcol}, (wx*{a} - wy*{b})*{inv} AS qf,
+                         (wy*{c})*{inv} AS rf FROM {src}),
+      {out}_c AS (SELECT {idcol}, qf, rf, floor(qf+0.5) AS rx,
+                         floor(rf+0.5) AS rz, floor(-qf-rf+0.5) AS ry
+                  FROM {out}_f),
+      {out} AS (SELECT {idcol},
+          CAST({res} AS BIGINT)*288230376151711744
+            + (q+134217728)*536870912 + (r+134217728) AS cell, q, r
+        FROM (SELECT {idcol},
+          CAST(CASE WHEN abs(rx-qf) > abs(ry-(-qf-rf))
+                     AND abs(rx-qf) > abs(rz-rf)
+               THEN -ry-rz ELSE rx END AS BIGINT) AS q,
+          CAST(CASE WHEN NOT(abs(rx-qf) > abs(ry-(-qf-rf))
+                         AND abs(rx-qf) > abs(rz-rf))
+                     AND NOT(abs(ry-(-qf-rf)) > abs(rz-rf))
+               THEN -rx-ry ELSE rz END AS BIGINT) AS r FROM {out}_c))"""
+
+
 def _merc_xy(zoom: int) -> tuple[str, str]:
     size = 4096.0 * (2.0 ** zoom)
     gx = f"((greatest(-180.0, least(180.0, lng)) + 180.0) / 360.0 * {size})"
@@ -1422,6 +1503,9 @@ def oracle_sql() -> dict[str, str]:
 
     n = (1 << 4) - 1
     gx4, gy4 = _merc_xy(4)
+    gx0, gy0 = _merc_xy(0)
+    _hd = repr(math.sqrt(3.0))
+    _he = repr(math.sqrt(3.0) / 2.0)
     # the minhash permutation constants — SAME generator invocation as the
     # Spark UDF (operators/dedup.py::_shingle_minhash_udf, odd-forced
     # multiply-shift family), inlined as SQL literals so DuckDB
@@ -2258,5 +2342,33 @@ def oracle_sql() -> dict[str, str]:
                 AS n_features,
               (x*4 + y) % 5 != 0 AS error_detected
             FROM t
+        """,
+        "hex_cell_keys": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            w AS (SELECT event_id, {gx0} AS wx, {gy0} AS wy FROM pts),
+            {_hex_sql('w', 'event_id', 8, 'h8')},
+            {_hex_sql('w', 'event_id', 6, 'h6')},
+            ctr AS (SELECT event_id,
+                           (q*CAST({_hd} AS DOUBLE)
+                            + r*CAST({_he} AS DOUBLE))*4.0 AS wx,
+                           (r*CAST(1.5 AS DOUBLE))*4.0 AS wy FROM h8),
+            {_hex_sql('ctr', 'event_id', 7, 'h7')}
+            SELECT h8.event_id, h8.cell AS h8, h6.cell AS h6, h7.cell AS h7p
+            FROM h8 JOIN h6 USING(event_id) JOIN h7 USING(event_id)
+        """,
+        "hex_kring_counts": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            w AS (SELECT event_id, {gx0} AS wx, {gy0} AS wy FROM pts),
+            {_hex_sql('w', 'event_id', 5, 'e5')},
+            s AS (SELECT CAST(n_nationkey AS BIGINT) AS site_id,
+                         n_nationkey*14.0 - 170.0 AS lng,
+                         n_nationkey*6.0 - 70.0 AS lat FROM nation),
+            sw AS (SELECT site_id, {gx0} AS wx, {gy0} AS wy FROM s),
+            {_hex_sql('sw', 'site_id', 5, 's5')}
+            SELECT site_id, COUNT(*) AS n_events
+            FROM e5 JOIN s5 ON abs(e5.q - s5.q) <= 2
+                           AND abs(e5.r - s5.r) <= 2
+                           AND abs((e5.q - s5.q) + (e5.r - s5.r)) <= 2
+            GROUP BY site_id
         """,
     }
