@@ -1384,6 +1384,34 @@ def hex_kring_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def rasterize_tile_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster side of raster↔vector (operators/raster.py), ORACLED: event
+    points are rasterized into per-tile 64×64 uint32 density grids (a
+    REAL binary raster artifact, one shuffle on the tile key), then the
+    grids are unpacked back to nonzero pixels — so the hash gate
+    round-trips vector→raster→pixel-rows against a relational recount.
+    A flipped count or a transposed gy/gx in the binary fails it."""
+    from mvtspark.operators.raster import grid_pixels, rasterize_points
+
+    pts = _event_points(spark, sf)
+    r = rasterize_points(pts, zoom=2, grid=64)
+    return grid_pixels(r, grid=64)
+
+
+def vectorize_grid_rects(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector side of raster↔vector, ORACLED: per-tile rasters are
+    converted back to vector rectangles (maximal horizontal runs of
+    pixels with count ≥ 2, whole-batch numpy diff/cumsum — no per-row
+    Python) with tile-frame px bounds ready for the MVT encoder. The
+    oracle rebuilds the runs with SQL gaps-and-islands over the
+    recomputed pixel counts."""
+    from mvtspark.operators.raster import rasterize_points, vectorize_rect_runs
+
+    pts = _event_points(spark, sf)
+    r = rasterize_points(pts, zoom=2, grid=64)
+    return vectorize_rect_runs(r, threshold=2, grid=64)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1443,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_window_features": audio_window_features,
         "hex_cell_keys": hex_cell_keys,
         "hex_kring_counts": hex_kring_counts,
+        "rasterize_tile_grid": rasterize_tile_grid,
+        "vectorize_grid_rects": vectorize_grid_rects,
     }
 
 
@@ -1504,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
     n = (1 << 4) - 1
     gx4, gy4 = _merc_xy(4)
     gx0, gy0 = _merc_xy(0)
+    gx2, gy2 = _merc_xy(2)
     _hd = repr(math.sqrt(3.0))
     _he = repr(math.sqrt(3.0) / 2.0)
     # the minhash permutation constants — SAME generator invocation as the
@@ -2370,5 +2401,48 @@ def oracle_sql() -> dict[str, str]:
                            AND abs(e5.r - s5.r) <= 2
                            AND abs((e5.q - s5.q) + (e5.r - s5.r)) <= 2
             GROUP BY site_id
+        """,
+        "rasterize_tile_grid": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            g AS (SELECT {gx2} AS gx, {gy2} AS gy FROM pts),
+            t AS (SELECT gx, gy,
+                CAST(GREATEST(0, LEAST(3, FLOOR(gx/4096))) AS INT) AS x,
+                CAST(GREATEST(0, LEAST(3, FLOOR(gy/4096))) AS INT) AS y
+              FROM g),
+            p AS (SELECT 2 AS zoom, x, y,
+                CAST(GREATEST(0, LEAST(63, FLOOR((gy - y*4096)/64))) AS INT)
+                  AS gy,
+                CAST(GREATEST(0, LEAST(63, FLOOR((gx - x*4096)/64))) AS INT)
+                  AS gx
+              FROM t)
+            SELECT zoom, x, y, gy, gx, CAST(COUNT(*) AS INT) AS cnt
+            FROM p GROUP BY ALL
+        """,
+        "vectorize_grid_rects": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            g AS (SELECT {gx2} AS gx, {gy2} AS gy FROM pts),
+            t AS (SELECT gx, gy,
+                CAST(GREATEST(0, LEAST(3, FLOOR(gx/4096))) AS INT) AS x,
+                CAST(GREATEST(0, LEAST(3, FLOOR(gy/4096))) AS INT) AS y
+              FROM g),
+            p AS (SELECT 2 AS zoom, x, y,
+                CAST(GREATEST(0, LEAST(63, FLOOR((gy - y*4096)/64))) AS INT)
+                  AS gy,
+                CAST(GREATEST(0, LEAST(63, FLOOR((gx - x*4096)/64))) AS INT)
+                  AS gx
+              FROM t),
+            px AS (SELECT zoom, x, y, gy, gx, COUNT(*) AS cnt
+              FROM p GROUP BY ALL),
+            f AS (SELECT *, gx - ROW_NUMBER()
+                  OVER (PARTITION BY zoom, x, y, gy ORDER BY gx) AS isl
+              FROM px WHERE cnt >= 2)
+            SELECT zoom, x, y, gy,
+              CAST(MIN(gx) AS INT) AS gx0, CAST(MAX(gx) AS INT) AS gx1,
+              CAST(MIN(gx)*64 AS INT) AS px_x0,
+              CAST(gy*64 AS INT) AS px_y0,
+              CAST((MAX(gx)+1)*64 AS INT) AS px_x1,
+              CAST((gy+1)*64 AS INT) AS px_y1,
+              CAST(SUM(cnt) AS BIGINT) AS run_sum
+            FROM f GROUP BY zoom, x, y, gy, isl
         """,
     }
