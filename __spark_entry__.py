@@ -1412,6 +1412,90 @@ def vectorize_grid_rects(spark: SparkSession, sf: str) -> DataFrame:
     return vectorize_rect_runs(r, threshold=2, grid=64)
 
 
+def simplify_lines_dp(spark: SparkSession, sf: str) -> DataFrame:
+    """D16 Douglas–Peucker simplification (kernels/simplify.py — the
+    reference's SimplifyPolygon capability re-expressed Spark-first),
+    ORACLED by a DuckDB RECURSIVE CTE that replays the DP recursion
+    relationally: integer-exact split condition cross² > eps²·|AB|²,
+    ties to the lowest index, so the engine's whole-batch worklist DP
+    and the SQL recursion must keep bit-identical vertex sets."""
+    from mvtspark.sources.tiles import simplify_features
+
+    fid = F.col("o_orderkey")
+    o = _t(spark, sf, "orders").where(fid % 10 == 0)
+    feats = o.select(
+        F.lit(0).alias("zoom"), F.lit(0).alias("x"), F.lit(0).alias("y"),
+        F.lit("lines").alias("layer"), F.lit(4096).alias("extent"),
+        fid.alias("feature_id"), F.lit(2).alias("geom_type"),
+        F.array(F.lit(0), F.lit(17)).cast("array<int>").alias("part_offsets"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(16)),
+            lambda i: (fid * 7919 + i * 997 + i * i * 13) % 4096,
+        ).alias("xs"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(16)),
+            lambda i: (fid * 104729 + i * 31 + i * i * 7) % 4096,
+        ).alias("ys"),
+        F.lit("{}").alias("props"),
+        F.lit(None).cast("string").alias("decode_error"),
+    )
+    simp = simplify_features(feats, eps=500)
+    return simp.select(
+        "feature_id", F.posexplode(F.arrays_zip("xs", "ys"))
+    ).select(
+        "feature_id",
+        F.col("pos").alias("seq"),
+        F.col("col.xs").alias("px"),
+        F.col("col.ys").alias("py"),
+    )
+
+
+def offset_convex_polygons(spark: SparkSession, sf: str) -> DataFrame:
+    """D17 polygon offset (kernels/geom.py::offset_convex_rings —
+    clipper's ClipperOffset capability in its SQL-replayable restricted
+    domain: strictly-convex CCW rings, miter joins), ORACLED: every
+    miter-intersection double must match a DuckDB lead/lag recomputation
+    BIT-FOR-BIT (sqrt and division are correctly-rounded IEEE in both
+    engines, and the op order is mirrored exactly)."""
+    fid = F.col("o_orderkey")
+    o = _t(spark, sf, "orders").where(fid % 10 == 3)
+    base = [(2, 0), (5, 0), (7, 2), (7, 5), (5, 7), (2, 7), (0, 5), (0, 2)]
+    s = F.lit(100) + (fid % 7) * 50
+    tx = (fid * 37) % 2000
+    ty = (fid * 53) % 2000
+    feats = o.select(
+        fid.alias("feature_id"),
+        F.array(*[(F.lit(bx) * s + tx).cast("double") for bx, _ in base]).alias("xs"),
+        F.array(*[(F.lit(by) * s + ty).cast("double") for _, by in base]).alias("ys"),
+    )
+
+    def _off(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mvtspark.kernels.geom import offset_convex_rings
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xs = np.concatenate([np.asarray(v, dtype=np.float64) for v in pdf["xs"]])
+            ys = np.concatenate([np.asarray(v, dtype=np.float64) for v in pdf["ys"]])
+            offs = np.arange(len(pdf) + 1, dtype=np.int64) * 8
+            ox, oy = offset_convex_rings(xs, ys, offs, 25.0)
+            yield pd.DataFrame(
+                {
+                    "feature_id": np.repeat(pdf["feature_id"].to_numpy(), 8),
+                    "i": np.tile(np.arange(8, dtype=np.int32), len(pdf)),
+                    "ox": ox,
+                    "oy": oy,
+                }
+            )
+
+    return feats.mapInPandas(
+        _off, schema="feature_id long, i int, ox double, oy double"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1473,6 +1557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_kring_counts": hex_kring_counts,
         "rasterize_tile_grid": rasterize_tile_grid,
         "vectorize_grid_rects": vectorize_grid_rects,
+        "simplify_lines_dp": simplify_lines_dp,
+        "offset_convex_polygons": offset_convex_polygons,
     }
 
 
@@ -2444,5 +2530,86 @@ def oracle_sql() -> dict[str, str]:
               CAST((gy+1)*64 AS INT) AS px_y1,
               CAST(SUM(cnt) AS BIGINT) AS run_sum
             FROM f GROUP BY zoom, x, y, gy, isl
+        """,
+        "simplify_lines_dp": """
+            WITH RECURSIVE
+            o AS (SELECT o_orderkey AS fid FROM orders
+                  WHERE o_orderkey % 10 = 0),
+            pts AS (
+              SELECT fid, i,
+                (fid*7919 + i*997 + i*i*13) % 4096 AS x,
+                (fid*104729 + i*31 + i*i*7) % 4096 AS y
+              FROM o, (SELECT unnest(range(17)) AS i)
+            ),
+            segs(fid, i0, i1) AS (
+              SELECT fid, CAST(0 AS BIGINT), CAST(16 AS BIGINT) FROM o
+              UNION ALL
+              SELECT w.fid,
+                     CASE WHEN h.h = 0 THEN w.i0 ELSE w.split_i END,
+                     CASE WHEN h.h = 0 THEN w.split_i ELSE w.i1 END
+              FROM (
+                SELECT fid, i0, i1, i AS split_i FROM (
+                  SELECT fid, i0, i1, i,
+                    ROW_NUMBER() OVER (PARTITION BY fid, i0, i1
+                                       ORDER BY cross2 DESC, i ASC) AS rn,
+                    cross2, 250000 * ab2 AS lim
+                  FROM (
+                    SELECT s.fid AS fid, s.i0 AS i0, s.i1 AS i1, p.i AS i,
+                      ((b.x - a.x)*(p.y - a.y) - (b.y - a.y)*(p.x - a.x))
+                        * ((b.x - a.x)*(p.y - a.y) - (b.y - a.y)*(p.x - a.x))
+                        AS cross2,
+                      (b.x - a.x)*(b.x - a.x) + (b.y - a.y)*(b.y - a.y) AS ab2
+                    FROM segs s
+                    JOIN pts a ON a.fid = s.fid AND a.i = s.i0
+                    JOIN pts b ON b.fid = s.fid AND b.i = s.i1
+                    JOIN pts p ON p.fid = s.fid AND p.i > s.i0 AND p.i < s.i1
+                    WHERE s.i1 - s.i0 > 1
+                  )
+                ) WHERE rn = 1 AND cross2 > lim
+              ) w, (SELECT unnest([0, 1]) AS h) h
+            ),
+            -- NB: inside WITH RECURSIVE, DuckDB 1.0.0 treats a later
+            -- CTE's top-level UNION as UNION ALL; dedup explicitly
+            kept AS (SELECT DISTINCT fid, i FROM
+                     (SELECT fid, i0 AS i FROM segs
+                      UNION ALL SELECT fid, i1 FROM segs))
+            SELECT k.fid AS feature_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY k.fid ORDER BY k.i) - 1
+                   AS INT) AS seq,
+              p.x AS px, p.y AS py
+            FROM kept k JOIN pts p ON p.fid = k.fid AND p.i = k.i
+        """,
+        "offset_convex_polygons": """
+            WITH o AS (SELECT o_orderkey AS fid FROM orders
+                       WHERE o_orderkey % 10 = 3),
+            base(i, bx, by) AS (SELECT * FROM (VALUES
+              (0,2,0),(1,5,0),(2,7,2),(3,7,5),
+              (4,5,7),(5,2,7),(6,0,5),(7,0,2))),
+            pts AS (SELECT fid, i,
+                CAST(bx * (100 + (fid % 7) * 50) + (fid*37) % 2000
+                     AS DOUBLE) AS x,
+                CAST(by * (100 + (fid % 7) * 50) + (fid*53) % 2000
+                     AS DOUBLE) AS y
+              FROM o, base),
+            tri AS (SELECT p.fid, p.i, p.x, p.y,
+                a.x AS px, a.y AS py, b.x AS nx, b.y AS ny
+              FROM pts p
+              JOIN pts a ON a.fid = p.fid AND a.i = (p.i + 7) % 8
+              JOIN pts b ON b.fid = p.fid AND b.i = (p.i + 1) % 8),
+            e AS (SELECT fid, i, x, y, px, py,
+                x - px AS e1x, y - py AS e1y,
+                nx - x AS e2x, ny - y AS e2y FROM tri),
+            m AS (SELECT fid, i, x, y, px, py, e1x, e1y, e2x, e2y,
+                sqrt(e1x*e1x + e1y*e1y) AS l1,
+                sqrt(e2x*e2x + e2y*e2y) AS l2 FROM e),
+            pp AS (SELECT fid, i, e1x, e1y, e2x, e2y,
+                px + 25.0*(e1y/l1) AS p1x, py - 25.0*(e1x/l1) AS p1y,
+                x + 25.0*(e2y/l2) AS p2x, y - 25.0*(e2x/l2) AS p2y,
+                e1x*e2y - e1y*e2x AS den FROM m),
+            tt AS (SELECT fid, i, p1x, p1y, e1x, e1y,
+                ((p2x - p1x)*e2y - (p2y - p1y)*e2x)/den AS t FROM pp)
+            SELECT fid AS feature_id, CAST(i AS INT) AS i,
+              p1x + t*e1x AS ox, p1y + t*e1y AS oy
+            FROM tt
         """,
     }

@@ -552,3 +552,50 @@ def clip_line(
         for a, b in parts
         if len(a) >= 2
     ]
+
+
+def offset_convex_rings(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    offsets: np.ndarray,
+    d: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Miter offset of strictly-convex CCW rings by distance ``d`` (D17
+    — the reference vendors clipper's ClipperOffset/Minkowski, dead
+    code per SURVEY §2.8; this is the Spark-first restricted-domain
+    re-expression: convex rings, miter joins, where the result is pure
+    per-vertex arithmetic a SQL oracle can replay bit-for-bit).
+
+    Each output vertex is the intersection of the two adjacent edges'
+    offset lines (edge normals point outward for CCW orientation in a
+    y-up frame). Whole-batch vectorized over flat ring arrays; raises
+    if any corner is non-convex/collinear (den <= 0) — offsetting a
+    non-convex ring needs the full polygon-clipping machinery the
+    reference itself never invokes.
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    ln = np.diff(offsets)
+    if (ln < 3).any():
+        raise ValueError("rings need >= 3 vertices")
+    idx = np.arange(len(xs), dtype=np.int64)
+    s = np.repeat(offsets[:-1], ln)
+    ll = np.repeat(ln, ln)
+    prev = s + (idx - s - 1) % ll
+    nxt = s + (idx - s + 1) % ll
+    pxv, pyv = xs[prev], ys[prev]
+    nxv, nyv = xs[nxt], ys[nxt]
+    e1x, e1y = xs - pxv, ys - pyv
+    e2x, e2y = nxv - xs, nyv - ys
+    l1 = np.sqrt(e1x * e1x + e1y * e1y)
+    l2 = np.sqrt(e2x * e2x + e2y * e2y)
+    p1x = pxv + d * (e1y / l1)
+    p1y = pyv - d * (e1x / l1)
+    p2x = xs + d * (e2y / l2)
+    p2y = ys - d * (e2x / l2)
+    den = e1x * e2y - e1y * e2x
+    if (den <= 0).any():
+        raise ValueError("rings must be strictly convex CCW")
+    t = ((p2x - p1x) * e2y - (p2y - p1y) * e2x) / den
+    return p1x + t * e1x, p1y + t * e1y

@@ -737,3 +737,67 @@ def to_geojson(features: DataFrame) -> DataFrame:
     return features.groupBy("zoom", "x", "y").applyInPandas(
         _geo, schema="zoom int, x int, y int, geojson string"
     )
+
+
+def simplify_features(features: DataFrame, eps: int) -> DataFrame:
+    """Douglas–Peucker simplification of every geometry part (D16 —
+    the reference vendors clipper's SimplifyPolygon, dead code per
+    SURVEY §2.8; re-expressed Spark-first in kernels/simplify.py).
+
+    Works on any frame carrying (part_offsets, xs, ys); all other
+    columns pass through and the output schema equals the input schema.
+    Whole-batch: every part of an Arrow batch goes through ONE
+    dp_mask_batch call (flat worklist + reduceat — no per-feature DP
+    recursion in Python); only output re-assembly walks rows.
+    Integer-exact: split condition cross^2 > eps^2*|AB|^2, ties to the
+    lowest index, so a DuckDB recursive-CTE oracle reproduces the kept
+    set bit-for-bit.
+    """
+    schema = features.schema
+
+    def _simp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mvtspark.kernels.simplify import dp_mask_batch
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            def _arr(v):
+                return (
+                    np.empty(0, np.int64)
+                    if v is None
+                    else np.asarray(v, dtype=np.int64)
+                )
+
+            xs_l = [_arr(v) for v in pdf["xs"]]
+            ys_l = [_arr(v) for v in pdf["ys"]]
+            offs_l = [
+                np.zeros(1, np.int64) if o is None or not len(o) else
+                np.asarray(o, dtype=np.int64)
+                for o in pdf["part_offsets"]
+            ]
+            nv = np.array([len(v) for v in xs_l], dtype=np.int64)
+            base = np.concatenate([[0], np.cumsum(nv)])
+            xs = np.concatenate(xs_l) if xs_l else np.empty(0, np.int64)
+            ys = np.concatenate(ys_l) if ys_l else np.empty(0, np.int64)
+            glob = np.concatenate(
+                [o[:-1] + base[i] for i, o in enumerate(offs_l)] + [base[-1:]]
+            )
+            keep = dp_mask_batch(xs, ys, glob, eps)
+            out = pdf.copy()
+            new_xs, new_ys, new_off = [], [], []
+            for i, o in enumerate(offs_l):
+                k = keep[base[i]: base[i + 1]]
+                new_xs.append(xs_l[i][k])
+                new_ys.append(ys_l[i][k])
+                kept_per_part = np.add.reduceat(k, o[:-1]) if len(o) > 1 else np.empty(0, np.int64)
+                new_off.append(
+                    np.concatenate([[0], np.cumsum(kept_per_part)]).astype(np.int32)
+                )
+            out["xs"] = new_xs
+            out["ys"] = new_ys
+            out["part_offsets"] = new_off
+            yield out
+
+    return features.mapInPandas(_simp, schema=schema)
