@@ -459,6 +459,19 @@ def embedding_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_cosine_dups(e, threshold=0.42, sign_bits=4)
 
 
+def embedding_rh_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs (Charikar), ORACLED: the
+    8-band × 3-bit hyperplane sign keys are pure fold expressions over
+    literal dyadic-rational coefficients that the oracle SQL embeds
+    verbatim, so DuckDB rebuilds the identical band keys and exact-cosine
+    verify.  Recall upgrade over embedding_cosine_pairs' first-k-dims
+    sign bucket: 33/34 true pairs at the 0.42 operating point vs 6/34."""
+    from mvtspark.operators.dedup import embedding_rh_lsh_dups
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_rh_lsh_dups(e, threshold=0.42, bands=8, bits=3)
+
+
 def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force exact cosine top-k (ANN correctness baseline); query
     side broadcast, similarity native zip_with/aggregate, window top-k."""
@@ -1525,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": minhash_lsh,
         "simhash_pairs": simhash_pairs,
         "embedding_cosine_pairs": embedding_cosine_pairs,
+        "embedding_rh_lsh": embedding_rh_lsh,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
         "geojson_points": geojson_points,
@@ -1650,6 +1664,21 @@ def oracle_sql() -> dict[str, str]:
     # 32/32 to stay inside HUGEINT.
     from mvtspark.kernels.image import CITY_LATLNG as _CITY
     from mvtspark.kernels.image import _ZIPF_CDF as _CDF
+
+    # ---- random-hyperplane LSH coefficients (embedding_rh_lsh) --------
+    # SAME generator invocation as the Spark query
+    # (operators/dedup.py::rh_planes); the dyadic-rational coefficients
+    # are embedded as exact decimal literals, so DuckDB recomputes the
+    # identical hyperplane sign bits — no cross-engine RNG replay.
+    from mvtspark.operators.dedup import rh_planes as _rh_planes
+
+    _rh = _rh_planes(24, 64)
+    _rh_sign_exprs = ",\n                ".join(
+        "CAST(list_sum(list_transform(range(1, 65), i -> "
+        f"CAST(embedding[i] AS DOUBLE) * ([{', '.join(repr(c) for c in row)}])[i]"
+        ")) >= 0 AS BIGINT)"
+        for row in _rh.tolist()
+    )
 
     _K1, _K2, _K3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 
@@ -2201,6 +2230,36 @@ def oracle_sql() -> dict[str, str]:
               CAST(cnt AS BIGINT) AS group_size
             FROM lab JOIN (SELECT gid, COUNT(*) AS cnt FROM lab GROUP BY gid)
               USING (gid)
+        """,
+        "embedding_rh_lsh": f"""
+            WITH sb AS (
+              SELECT vec_id, [{_rh_sign_exprs}] AS signs
+              FROM embeddings),
+            keys AS (
+              SELECT vec_id, t.range AS band,
+                signs[3*t.range+1]*4 + signs[3*t.range+2]*2
+                  + signs[3*t.range+3] AS key
+              FROM sb, range(0, 8) t),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM keys a JOIN keys b
+                ON a.band = b.band AND a.key = b.key
+                AND a.vec_id < b.vec_id),
+            e AS (
+              SELECT vec_id, embedding,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * x))) AS nrm
+              FROM embeddings)
+            SELECT c.vec_a, c.vec_b,
+              ROUND(list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+                / (a.nrm * b.nrm), 6) AS cosine
+            FROM cand c
+            JOIN e a ON a.vec_id = c.vec_a
+            JOIN e b ON b.vec_id = c.vec_b
+            WHERE list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+                / (a.nrm * b.nrm) >= 0.42
         """,
         "embedding_cosine_pairs": """
             WITH e AS (

