@@ -250,6 +250,34 @@ def tile_assign_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def zorder_bbox_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustered write + stats-pruned bbox read-back (SURVEY §4
+    layout discipline; `sources/clustered.py`).
+
+    Writes the zoom-6 tile assignment of the event points as parquet
+    clustered along the Morton curve (native bitwise z-value, ONE range
+    exchange), then scans it back with a bbox predicate that Catalyst
+    pushes to the parquet reader — at scale the clustered layout is
+    what makes that pushdown skip files (pruning counts asserted in
+    tests/test_zorder_layout.py).  Returns per-tile counts plus the
+    tile's z-value so the oracle independently re-derives the curve key
+    with DuckDB's bitwise spread chain."""
+    import tempfile
+
+    from mvtspark.operators.spatial import assign_tiles
+    from mvtspark.sources.clustered import read_bbox, write_zordered
+
+    pts = _event_points(spark, sf)
+    t = assign_tiles(pts, zoom=6).select("event_id", "x", "y")
+    base = tempfile.mkdtemp(prefix="mvtspark_zorder_")
+    write_zordered(t, base, n_files=8)
+    back = read_bbox(spark, base, (24, 39), (24, 39))
+    return back.groupBy("x", "y", "z").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+    )
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -1526,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "sessionize_events": sessionize_events,
         "tile_assign_events": tile_assign_events,
+        "zorder_bbox_scan": zorder_bbox_scan,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -1837,6 +1866,35 @@ def oracle_sql() -> dict[str, str]:
               CAST(GREATEST(0, LEAST({n}, FLOOR({gy4} / 4096))) AS INT) AS y,
               COUNT(*) AS n_points
             FROM pts GROUP BY 2, 3
+        """,
+        "zorder_bbox_scan": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            t AS (SELECT event_id,
+              CAST(GREATEST(0, LEAST(63, FLOOR({_merc_xy(6)[0]} / 4096))) AS INT) AS x,
+              CAST(GREATEST(0, LEAST(63, FLOOR({_merc_xy(6)[1]} / 4096))) AS INT) AS y
+              FROM pts),
+            f AS (SELECT * FROM t
+                  WHERE x BETWEEN 24 AND 39 AND y BETWEEN 24 AND 39),
+            -- Morton spread chain, same masks as sources/clustered.py
+            s0 AS (SELECT event_id, x, y,
+                     CAST(x AS BIGINT) & 65535 AS sx,
+                     CAST(y AS BIGINT) & 65535 AS sy FROM f),
+            s1 AS (SELECT event_id, x, y,
+                     (sx | (sx << 8)) & 16711935 AS sx,
+                     (sy | (sy << 8)) & 16711935 AS sy FROM s0),
+            s2 AS (SELECT event_id, x, y,
+                     (sx | (sx << 4)) & 252645135 AS sx,
+                     (sy | (sy << 4)) & 252645135 AS sy FROM s1),
+            s3 AS (SELECT event_id, x, y,
+                     (sx | (sx << 2)) & 858993459 AS sx,
+                     (sy | (sy << 2)) & 858993459 AS sy FROM s2),
+            s4 AS (SELECT event_id, x, y,
+                     (sx | (sx << 1)) & 1431655765 AS sx,
+                     (sy | (sy << 1)) & 1431655765 AS sy FROM s3)
+            SELECT x, y, CAST(sx | (sy << 1) AS BIGINT) AS z,
+                   COUNT(*) AS n_points,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_ids
+            FROM s4 GROUP BY x, y, 3
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),
