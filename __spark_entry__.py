@@ -278,6 +278,87 @@ def zorder_bbox_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def geohash_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Geohash cell index (`functions/geodesy.py`): per-event base-32
+    cell at precision 6 + per-cell aggregation — the fourth cell-key
+    family (Morton/XYZ, S2, hex, geohash), with the prefix-containment
+    property pinned in tests/test_geodesy.py against public vectors.
+    Quantization is pure floor arithmetic (IEEE-exact across engines);
+    the oracle re-derives the Morton spread chain and the base-32
+    digits in DuckDB SQL."""
+    from mvtspark.functions.geodesy import geohash
+
+    pts = _event_points(spark, sf)
+    return (
+        pts.withColumn("gh", geohash(F.col("lat"), F.col("lng"), 6))
+        .groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+    )
+
+
+def haversine_nearest_site(spark: SparkSession, sf: str) -> DataFrame:
+    """Great-circle nearest site per event point (`haversine_km`,
+    functions/geodesy.py): broadcast 25-site dim, codegen trig, window
+    top-1 — the spherical-metric counterpart of the planar kNN ring
+    join (sites hundreds of km apart need the real metric).  Distances
+    round to 4 decimals (~0.1 m) to absorb cross-engine libm ulps, the
+    same discipline as mercator_roundtrip."""
+    from mvtspark.functions.geodesy import haversine_km
+
+    pts = _event_points(spark, sf)
+    n = _t(spark, sf, "nation")
+    sites = n.select(
+        F.col("n_nationkey").alias("site_id"),
+        ((F.col("n_nationkey") * 37 % 160) - 79.5).cast("double").alias("slat"),
+        ((F.col("n_nationkey") * 73 % 360) - 179.5).cast("double").alias("slng"),
+    )
+    d = pts.join(F.broadcast(sites)).withColumn(
+        "km",
+        haversine_km(F.col("lat"), F.col("lng"), F.col("slat"), F.col("slng")),
+    )
+    # argmin as min(struct(km, site_id)) — unlike a window top-1, the
+    # 25x-exploded rows collapse in the MAP-SIDE partial aggregate, so
+    # only one row per event ever shuffles
+    return (
+        d.groupBy("event_id")
+        .agg(F.min(F.struct(F.col("km"), F.col("site_id"))).alias("m"))
+        .select(
+            "event_id",
+            F.col("m.site_id").alias("site_id"),
+            F.round("m.km", 4).alias("km"),
+        )
+    )
+
+
+def bbox_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Rectangle-overlap spatial join (`operators/overlap.py`): PBSM
+    grid join — cover-cell explode, ONE equi-join shuffle, and the
+    corner rule for exactly-once pair emission (never the O(n²)
+    inequality nested loop Spark would otherwise plan).  Two
+    deterministic rect sets derive from disjoint event slices; the
+    oracle IS the naive inequality join (tractable at oracle scale)."""
+    from mvtspark.operators.overlap import bbox_overlap_join
+
+    e = _t(spark, sf, "events")
+
+    def rects(mod_eq: int, mul: int, prefix: str) -> DataFrame:
+        idc = F.col("event_id")
+        x0 = idc * mul % 100000
+        y0 = idc * (mul * 3 + 1) % 100000
+        return e.where(idc % 20 == mod_eq).select(
+            idc.alias(f"{prefix}id"),
+            x0.alias(f"{prefix}xmin"),
+            y0.alias(f"{prefix}ymin"),
+            (x0 + idc % 900 + 100).alias(f"{prefix}xmax"),
+            (y0 + (idc * 3) % 900 + 100).alias(f"{prefix}ymax"),
+        )
+
+    return bbox_overlap_join(rects(0, 48271, "a_"), rects(7, 16807, "b_"))
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -1555,6 +1636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "tile_assign_events": tile_assign_events,
         "zorder_bbox_scan": zorder_bbox_scan,
+        "geohash_cells": geohash_cells,
+        "haversine_nearest_site": haversine_nearest_site,
+        "bbox_overlap_pairs": bbox_overlap_pairs,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -1895,6 +1979,88 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_points,
                    CAST(SUM(event_id) AS BIGINT) AS sum_ids
             FROM s4 GROUP BY x, y, 3
+        """,
+        "geohash_cells": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            q AS (SELECT event_id,
+              CAST(LEAST(FLOOR((lng + 180.0) / 360.0 * 32768.0), 32767) AS BIGINT) AS bx,
+              CAST(LEAST(FLOOR((lat + 90.0) / 180.0 * 32768.0), 32767) AS BIGINT) AS by
+              FROM pts),
+            -- 64-bit Morton spread chain (functions/geodesy.py masks)
+            g1 AS (SELECT event_id,
+                (bx | (bx << 16)) & 281470681808895 AS bx,
+                (by | (by << 16)) & 281470681808895 AS by FROM q),
+            g2 AS (SELECT event_id,
+                (bx | (bx << 8)) & 71777214294589695 AS bx,
+                (by | (by << 8)) & 71777214294589695 AS by FROM g1),
+            g3 AS (SELECT event_id,
+                (bx | (bx << 4)) & 1085102592571150095 AS bx,
+                (by | (by << 4)) & 1085102592571150095 AS by FROM g2),
+            g4 AS (SELECT event_id,
+                (bx | (bx << 2)) & 3689348814741910323 AS bx,
+                (by | (by << 2)) & 3689348814741910323 AS by FROM g3),
+            g5 AS (SELECT event_id,
+                (bx | (bx << 1)) & 6148914691236517205 AS bx,
+                (by | (by << 1)) & 6148914691236517205 AS by FROM g4),
+            z AS (SELECT event_id, by | (bx << 1) AS z FROM g5),
+            h AS (SELECT event_id,
+              substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST((z >> 25) & 31 AS INT) + 1, 1) ||
+              substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST((z >> 20) & 31 AS INT) + 1, 1) ||
+              substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST((z >> 15) & 31 AS INT) + 1, 1) ||
+              substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST((z >> 10) & 31 AS INT) + 1, 1) ||
+              substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST((z >> 5) & 31 AS INT) + 1, 1) ||
+              substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST(z & 31 AS INT) + 1, 1) AS gh
+              FROM z)
+            SELECT gh, COUNT(*) AS n_points,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_ids
+            FROM h GROUP BY gh
+        """,
+        "haversine_nearest_site": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            sites AS (SELECT n_nationkey AS site_id,
+                        CAST((n_nationkey*37 % 160) - 79.5 AS DOUBLE) AS slat,
+                        CAST((n_nationkey*73 % 360) - 179.5 AS DOUBLE) AS slng
+                      FROM nation),
+            d AS (SELECT event_id, site_id,
+                    {2.0 * 6371.0088!r} * asin(sqrt(
+                      sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
+                      + cos(radians(lat)) * cos(radians(slat))
+                        * sin(radians(slng - lng) / 2)
+                        * sin(radians(slng - lng) / 2))) AS km
+                  FROM pts, sites)
+            SELECT event_id, site_id, ROUND(km, 4) AS km FROM (
+              SELECT event_id, site_id, km,
+                ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY km, site_id) AS rn
+              FROM d) WHERE rn = 1
+        """,
+        "bbox_overlap_pairs": """
+            WITH a AS (SELECT event_id AS a_id,
+                (event_id * 48271) % 100000 AS a_xmin,
+                (event_id * 144814) % 100000 AS a_ymin,
+                (event_id * 48271) % 100000 + event_id % 900 + 100 AS a_xmax,
+                (event_id * 144814) % 100000 + (event_id * 3) % 900 + 100 AS a_ymax
+              FROM events WHERE event_id % 20 = 0),
+            b AS (SELECT event_id AS b_id,
+                (event_id * 16807) % 100000 AS b_xmin,
+                (event_id * 50422) % 100000 AS b_ymin,
+                (event_id * 16807) % 100000 + event_id % 900 + 100 AS b_xmax,
+                (event_id * 50422) % 100000 + (event_id * 3) % 900 + 100 AS b_ymax
+              FROM events WHERE event_id % 20 = 7)
+            SELECT a_id, b_id,
+              CAST(GREATEST(a_xmin, b_xmin) AS BIGINT) AS ixmin,
+              CAST(GREATEST(a_ymin, b_ymin) AS BIGINT) AS iymin,
+              CAST(LEAST(a_xmax, b_xmax) AS BIGINT) AS ixmax,
+              CAST(LEAST(a_ymax, b_ymax) AS BIGINT) AS iymax
+            FROM a, b
+            WHERE a_xmin <= b_xmax AND b_xmin <= a_xmax
+              AND a_ymin <= b_ymax AND b_ymin <= a_ymax
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

@@ -68,6 +68,15 @@ AUDITS = {
     # bbox read over the z-ordered layout: predicate must reach the
     # parquet source (the layout makes those stats selective at scale)
     "zorder_bbox_scan": ["PushedFilters: [IsNotNull(x)", "HashAggregate"],
+    # geohash is one codegen'd column expression feeding a hash agg
+    "geohash_cells": ["codegen id", "HashAggregate"],
+    # broadcast the 25-site dim; argmin must be a partial AGGREGATE
+    # before the Exchange (min(struct) plans as SortAggregate — struct
+    # buffers aren't hash-aggregable — but the partial still collapses
+    # the 25x blowup map-side), never a Window over the joined rows
+    "haversine_nearest_site": ["BroadcastNestedLoopJoin", "SortAggregate"],
+    # PBSM overlap join: hash equi-join on cover cells, no cartesian
+    "bbox_overlap_pairs": ["HashJoin", "Generate"],
 }
 
 
