@@ -359,6 +359,27 @@ def bbox_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return bbox_overlap_join(rects(0, 48271, "a_"), rects(7, 16807, "b_"))
 
 
+def user_track_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user trajectory stats (`operators/trajectory.py`): order each
+    user's geotagged events by (ts, event_id), lag-window the previous
+    ping, haversine each segment, reduce to movement totals.  ONE
+    shuffle — the groupBy reuses the window's hash partitioning on
+    user_id.  Segment km rounds to 4 decimals then scales to integer
+    km·10⁴ BEFORE summing, so the sum is order-independent and the
+    DuckDB window oracle reproduces it exactly."""
+    from mvtspark.operators.trajectory import track_stats
+
+    e = _t(spark, sf, "events")
+    pings = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        ((F.col("event_id") % 3600) / 10.0 - 179.947).alias("lng"),
+        (((F.col("event_id") * 7) % 1600) / 10.0 - 79.947).alias("lat"),
+    )
+    return track_stats(pings)
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -1639,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": geohash_cells,
         "haversine_nearest_site": haversine_nearest_site,
         "bbox_overlap_pairs": bbox_overlap_pairs,
+        "user_track_stats": user_track_stats,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -2061,6 +2083,40 @@ def oracle_sql() -> dict[str, str]:
             FROM a, b
             WHERE a_xmin <= b_xmax AND b_xmin <= a_xmax
               AND a_ymin <= b_ymax AND b_ymin <= a_ymax
+        """,
+        "user_track_stats": f"""
+            WITH pings AS (SELECT event_id, user_id, ts,
+                (event_id % 3600) / 10.0 - 179.947 AS lng,
+                ((event_id * 7) % 1600) / 10.0 - 79.947 AS lat
+              FROM events),
+            seg AS (SELECT user_id, ts,
+                LAG(lat) OVER w AS plat, LAG(lng) OVER w AS plng,
+                lat, lng
+              FROM pings
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s2 AS (SELECT user_id, ts,
+                CASE WHEN plat IS NOT NULL THEN CAST(ROUND(
+                  {2.0 * 6371.0088!r} * asin(sqrt(
+                    sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+                    + cos(radians(plat)) * cos(radians(lat))
+                      * sin(radians(lng - plng) / 2)
+                      * sin(radians(lng - plng) / 2))) * 10000.0, 0)
+                  AS BIGINT) END AS seg_e4
+              FROM seg),
+            agg AS (SELECT user_id,
+                COUNT(*) AS n_pings,
+                COUNT(seg_e4) AS n_segments,
+                CAST(COALESCE(SUM(seg_e4), 0) AS BIGINT) AS total_km_e4,
+                CAST(COALESCE(MAX(seg_e4), 0) AS BIGINT) AS max_km_e4,
+                (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0
+                  AS duration_s
+              FROM s2 GROUP BY user_id)
+            SELECT user_id, n_pings, n_segments, total_km_e4, max_km_e4,
+              duration_s,
+              CASE WHEN duration_s > 0 THEN
+                ROUND((total_km_e4 / 10000.0) / (duration_s / 3600.0), 4)
+              ELSE 0.0 END AS avg_kmh
+            FROM agg
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

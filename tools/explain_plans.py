@@ -77,6 +77,9 @@ AUDITS = {
     "haversine_nearest_site": ["BroadcastNestedLoopJoin", "SortAggregate"],
     # PBSM overlap join: hash equi-join on cover cells, no cartesian
     "bbox_overlap_pairs": ["HashJoin", "Generate"],
+    # lag window + groupBy reuse ONE hash partitioning on user_id
+    # (tests/test_trajectory.py asserts exactly one Exchange)
+    "user_track_stats": ["Window", "HashAggregate"],
 }
 
 
