@@ -380,6 +380,18 @@ def user_track_stats(spark: SparkSession, sf: str) -> DataFrame:
     return track_stats(pings)
 
 
+def grid_density_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-DBSCAN (`operators/cluster.py`): snap → count → dense-cell
+    8-adjacency hash join → distributed min-label connected components
+    (the same Pregel loop as dedup_groups, on a graph orders of
+    magnitude smaller than the point table).  Cluster ids are exact
+    integer min packed keys, so the DuckDB oracle closes the identical
+    graph with a recursive reachability CTE and must match bit-for-bit."""
+    from mvtspark.operators.cluster import grid_dbscan
+
+    return grid_dbscan(_event_points(spark, sf), cell_size=2.0, min_pts=3)
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -1661,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine_nearest_site": haversine_nearest_site,
         "bbox_overlap_pairs": bbox_overlap_pairs,
         "user_track_stats": user_track_stats,
+        "grid_density_clusters": grid_density_clusters,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -2117,6 +2130,27 @@ def oracle_sql() -> dict[str, str]:
                 ROUND((total_km_e4 / 10000.0) / (duration_s / 3600.0), 4)
               ELSE 0.0 END AS avg_kmh
             FROM agg
+        """,
+        "grid_density_clusters": f"""
+            WITH RECURSIVE pts AS ({_EVENT_PTS}),
+            cells AS (SELECT CAST(FLOOR(lng / 2.0) AS BIGINT) AS cx,
+                             CAST(FLOOR(lat / 2.0) AS BIGINT) AS cy,
+                             COUNT(*) AS n_points
+                      FROM pts GROUP BY 1, 2),
+            dense AS (SELECT cx, cy, n_points,
+                             (cx + 1048576) * 2097152 + (cy + 1048576) AS k
+                      FROM cells WHERE n_points >= 3),
+            e(a, b) AS (SELECT d1.k, d2.k FROM dense d1 JOIN dense d2
+                          ON abs(d1.cx - d2.cx) <= 1
+                         AND abs(d1.cy - d2.cy) <= 1),
+            reach(a, b) AS (SELECT a, b FROM e
+              UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+            lab AS (SELECT a AS k, MIN(b) AS cluster_id FROM reach GROUP BY a),
+            sz AS (SELECT cluster_id, COUNT(*) AS cluster_cells
+                   FROM lab GROUP BY 1)
+            SELECT d.cx, d.cy, d.n_points, l.cluster_id,
+                   CAST(s.cluster_cells AS BIGINT) AS cluster_cells
+            FROM dense d JOIN lab l USING (k) JOIN sz s USING (cluster_id)
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

@@ -80,6 +80,9 @@ AUDITS = {
     # lag window + groupBy reuse ONE hash partitioning on user_id
     # (tests/test_trajectory.py asserts exactly one Exchange)
     "user_track_stats": ["Window", "HashAggregate"],
+    # dense-cell adjacency is a hash equi-join on shifted coords
+    # (never an abs()-inequality self-join / cartesian)
+    "grid_density_clusters": ["HashJoin", "HashAggregate", "Generate"],
 }
 
 
