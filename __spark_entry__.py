@@ -392,6 +392,19 @@ def grid_density_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return grid_dbscan(_event_points(spark, sf), cell_size=2.0, min_pts=3)
 
 
+def pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (`operators/pq.py`): 8×16 codebooks from
+    the seed vectors, ONE min_by aggregation for all 8 codes, broadcast
+    per-query ADC tables, ordered-fold table-lookup distance — the
+    compressed-codes rung of the ANN ladder (brute force → IVF → PQ).
+    Every float reduction is a pinned-order fold, so the DuckDB oracle
+    (list folds + window argmins) matches bit-for-bit."""
+    from mvtspark.operators.pq import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return pq_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -1674,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_overlap_pairs": bbox_overlap_pairs,
         "user_track_stats": user_track_stats,
         "grid_density_clusters": grid_density_clusters,
+        "pq_ann_topk": pq_ann_topk,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -2151,6 +2165,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.cx, d.cy, d.n_points, l.cluster_id,
                    CAST(s.cluster_cells AS BIGINT) AS cluster_cells
             FROM dense d JOIN lab l USING (k) JOIN sz s USING (cluster_id)
+        """,
+        "pq_ann_topk": """
+            WITH cb AS (SELECT CAST(vec_id AS INT) AS cent_id,
+                               embedding AS c_emb
+                        FROM embeddings WHERE vec_id < 16),
+            sj AS (SELECT e.vec_id, c.cent_id, t.range AS j,
+                     list_sum(list_transform(range(1, 9), i ->
+                       (CAST(e.embedding[t.range*8 + i] AS DOUBLE)
+                          - CAST(c.c_emb[t.range*8 + i] AS DOUBLE))
+                       * (CAST(e.embedding[t.range*8 + i] AS DOUBLE)
+                          - CAST(c.c_emb[t.range*8 + i] AS DOUBLE))))
+                       AS dist
+                   FROM embeddings e, cb c, range(0, 8) t),
+            codes AS (SELECT vec_id, list(cent_id ORDER BY j) AS codes
+              FROM (SELECT vec_id, j, cent_id,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                         ORDER BY dist, cent_id) AS rn
+                    FROM sj) WHERE rn = 1 GROUP BY vec_id),
+            qtab AS (SELECT vec_id AS query_id,
+                       list(dist ORDER BY j * 16 + cent_id) AS qtab
+                     FROM sj WHERE vec_id < 5 GROUP BY vec_id),
+            scored AS (SELECT q.query_id, cd.vec_id,
+                list_sum(list_transform(range(0, 8), j ->
+                  q.qtab[j*16 + cd.codes[j + 1] + 1])) AS adc
+              FROM codes cd, qtab q WHERE cd.vec_id != q.query_id)
+            SELECT query_id, vec_id, ROUND(adc, 6) AS adc, rank FROM (
+              SELECT query_id, vec_id, adc,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

@@ -1,0 +1,153 @@
+"""Product quantization (PQ) ANN — codes, ADC scoring, top-k.
+
+The third member of the similarity-search ladder (`operators/ann.py`:
+brute-force exact → IVF coarse buckets → PQ compressed codes).  At
+10^12 vectors the corpus no longer fits as raw floats; PQ stores
+``m`` small codes per vector (here 8 × one-of-16 ≈ 4 bytes vs 256
+bytes of float64), and queries score against codes via the asymmetric
+distance computation (ADC): a per-query lookup table of
+query-subvector → codeword distances, so scoring a corpus row is
+``m`` table lookups + adds — no float vector math per pair.
+
+Plan shape, fully relational (oracle-checkable end-to-end):
+
+- codebooks: the first ``k_codes`` vectors' subvectors (a k-means
+  step can replace this seed set without changing the plan), broadcast;
+- encode: corpus × codebook (broadcast, no shuffle), per-subspace L2
+  as an ordered fold, per-subspace argmin via ``min_by`` — ONE
+  partially-aggregated shuffle for all ``m`` codes at once;
+- ADC: per-query distance tables built relationally and broadcast;
+  the approximate distance is an ordered ``aggregate`` fold over the
+  code array indexing the table — codegen lookups, deterministic
+  float order, so DuckDB's ``list_sum`` replays it bit-for-bit.
+
+Like every float path in this repo, all reductions are left folds in
+a pinned order — never a shuffle-order-dependent SUM over doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sub_l2(a, b, j: int, sub: int):
+    """Ordered-fold squared L2 between subvectors j of two float arrays."""
+    da = F.slice(a, j * sub + 1, sub)
+    db = F.slice(b, j * sub + 1, sub)
+    sq = F.zip_with(
+        da,
+        db,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _codebook(emb: DataFrame, k_codes: int) -> DataFrame:
+    return F.broadcast(
+        emb.where(F.col("vec_id") < k_codes).select(
+            F.col("vec_id").cast("int").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+
+
+def pq_encode(
+    emb: DataFrame, m: int = 8, k_codes: int = 16, dim: int = 64
+) -> DataFrame:
+    """(vec_id, codes array<int>[m]) — per-subspace nearest codeword.
+
+    All ``m`` argmins come out of ONE ``min_by`` aggregation over the
+    broadcast corpus × codebook product (ties to the smaller cent_id),
+    with map-side partials collapsing the ``k_codes``-way blowup
+    before the shuffle."""
+    sub = dim // m
+    scored = emb.select("vec_id", "embedding").crossJoin(_codebook(emb, k_codes))
+    aggs = [
+        F.min_by(
+            F.col("cent_id"),
+            F.struct(
+                _sub_l2(F.col("embedding"), F.col("c_emb"), j, sub).alias("d"),
+                F.col("cent_id").alias("c"),
+            ),
+        ).alias(f"_c{j}")
+        for j in range(m)
+    ]
+    return (
+        scored.groupBy("vec_id")
+        .agg(*aggs)
+        .select(
+            "vec_id", F.array(*[f"_c{j}" for j in range(m)]).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k nearest (smallest ADC distance) per query.
+
+    Output: (query_id, vec_id, adc, rank) — ``adc`` is the summed
+    per-subspace query→codeword squared L2, the standard PQ distance
+    estimate."""
+    sub = dim // m
+    codes = pq_encode(emb, m, k_codes, dim)
+    cb = _codebook(emb, k_codes)
+
+    # per-query ADC table: qtab[j*k_codes + c] = d(q_sub_j, codeword_c_j),
+    # assembled in index order via array_sort so the fold below can
+    # address it positionally
+    dists = F.array(
+        *[
+            _sub_l2(F.col("embedding"), F.col("c_emb"), j, sub)
+            for j in range(m)
+        ]
+    )
+    qd = (
+        queries.select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(cb)
+        .select(
+            "query_id",
+            F.posexplode(dists).alias("j", "dist"),
+            F.col("cent_id"),
+        )
+        .select(
+            "query_id",
+            (F.col("j") * k_codes + F.col("cent_id")).alias("idx"),
+            "dist",
+        )
+    )
+    qtab = (
+        qd.groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "dist"))).alias("t"))
+        .select(
+            "query_id",
+            F.transform("t", lambda x: x["dist"]).alias("qtab"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("qtab"),
+            j * k_codes + F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qtab))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("adc", 6).alias("adc"), "rank")
+    )

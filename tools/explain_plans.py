@@ -83,6 +83,9 @@ AUDITS = {
     # dense-cell adjacency is a hash equi-join on shifted coords
     # (never an abs()-inequality self-join / cartesian)
     "grid_density_clusters": ["HashJoin", "HashAggregate", "Generate"],
+    # PQ: broadcast codebook product + ONE partial-agg shuffle for all
+    # 8 codes (min_by structs sort-aggregate), broadcast ADC tables
+    "pq_ann_topk": ["BroadcastNestedLoopJoin", "SortAggregate"],
 }
 
 
