@@ -80,9 +80,11 @@ AUDITS = {
     # lag window + groupBy reuse ONE hash partitioning on user_id
     # (tests/test_trajectory.py asserts exactly one Exchange)
     "user_track_stats": ["Window", "HashAggregate"],
-    # dense-cell adjacency is a hash equi-join on shifted coords
-    # (never an abs()-inequality self-join / cartesian)
-    "grid_density_clusters": ["HashJoin", "HashAggregate", "Generate"],
+    # dense-cell adjacency is a hash equi-join on shifted coords (never
+    # an abs()-inequality self-join / cartesian); the CC loop's labels
+    # enter as a checkpointed RDD scan (lineage truncated per round),
+    # so the adjacency Generate sits behind the checkpoint, not here
+    "grid_density_clusters": ["HashJoin", "HashAggregate", "Scan ExistingRDD"],
     # PQ: broadcast codebook product + ONE partial-agg shuffle for all
     # 8 codes (min_by structs sort-aggregate), broadcast ADC tables
     "pq_ann_topk": ["BroadcastNestedLoopJoin", "SortAggregate"],
