@@ -405,6 +405,56 @@ def pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def quadkey_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Bing quadkey cell index (`functions/geodesy.py::quadkey`): the
+    fifth cell-key family, exactly aligned to the XYZ pyramid (every
+    prefix is the ancestor tile).  Pure bit-math codegen on top of the
+    native mercator tile assignment; the oracle replays projection +
+    base-4 digits in SQL."""
+    from mvtspark.functions.geodesy import quadkey
+    from mvtspark.operators.spatial import assign_tiles
+
+    pts = _event_points(spark, sf)
+    return (
+        assign_tiles(pts, zoom=6)
+        .withColumn("qk", quadkey(F.col("x"), F.col("y"), 6))
+        .groupBy("qk")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+    )
+
+
+def convex_geofence_pip(spark: SparkSession, sf: str) -> DataFrame:
+    """Convex geofence membership (`operators/geofence.py`): broadcast
+    12-fence hexagon catalog, exact sign-fold PIP (min edge cross
+    product >= 0 — pure +,-,* doubles, no rounding discipline needed),
+    per-fence aggregate.  The oracle rebuilds the identical edge
+    literals from repr()'d Python doubles and classifies every point
+    bit-for-bit."""
+    from mvtspark.operators.geofence import fence_catalog, geofence_join
+
+    pts = _event_points(spark, sf)
+    return (
+        geofence_join(pts, fence_catalog(spark))
+        .groupBy("fence_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_inside"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (`operators/text.py`): explode →
+    tf/df aggs → smooth idf → score rounded to 6 BEFORE the (score,
+    term) ranking so cross-engine libm ln ulps can't flip the order."""
+    from mvtspark.operators.text import tfidf_top_terms as _tfidf
+
+    return _tfidf(_t(spark, sf, "documents"), k=3)
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -1688,6 +1738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_track_stats": user_track_stats,
         "grid_density_clusters": grid_density_clusters,
         "pq_ann_topk": pq_ann_topk,
+        "quadkey_cells": quadkey_cells,
+        "convex_geofence_pip": convex_geofence_pip,
+        "tfidf_top_terms": tfidf_top_terms,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -1797,6 +1850,22 @@ def oracle_sql() -> dict[str, str]:
     gx4, gy4 = _merc_xy(4)
     gx0, gy0 = _merc_xy(0)
     gx2, gy2 = _merc_xy(2)
+    gx6, gy6 = _merc_xy(6)
+    # base-4 quadkey digits, MSB-down (functions/geodesy.py::quadkey)
+    _qk = " || ".join(
+        f"substr('0123', ((x >> {i - 1}) & 1) + 2 * ((y >> {i - 1}) & 1)"
+        " + 1, 1)"
+        for i in range(6, 0, -1)
+    )
+    # convex hexagon fence catalog — SAME generator invocation as the
+    # Spark dim (operators/geofence.py::hex_fences), repr()'d doubles
+    from mvtspark.operators.geofence import hex_fences as _hf
+
+    _fence_rows = ", ".join(
+        f"({fid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for fid, edges in _hf()
+        for (x1, y1, x2, y2) in edges
+    )
     _hd = repr(math.sqrt(3.0))
     _he = repr(math.sqrt(3.0) / 2.0)
     # the minhash permutation constants — SAME generator invocation as the
@@ -2195,6 +2264,47 @@ def oracle_sql() -> dict[str, str]:
                 ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY adc ASC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 5
+        """,
+        "quadkey_cells": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            t AS (SELECT event_id,
+              CAST(GREATEST(0, LEAST(63, FLOOR({gx6} / 4096))) AS INT) AS x,
+              CAST(GREATEST(0, LEAST(63, FLOOR({gy6} / 4096))) AS INT) AS y
+              FROM pts)
+            SELECT {_qk} AS qk, COUNT(*) AS n_points,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_ids
+            FROM t GROUP BY qk
+        """,
+        "convex_geofence_pip": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            edges(fence_id, x1, y1, x2, y2) AS (VALUES {_fence_rows}),
+            pf AS (SELECT p.event_id, e.fence_id,
+                     MIN((e.x2 - e.x1) * (p.lat - e.y1)
+                         - (e.y2 - e.y1) * (p.lng - e.x1)) AS mc
+                   FROM pts p, edges e GROUP BY 1, 2)
+            SELECT fence_id, COUNT(*) AS n_inside,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_ids
+            FROM pf WHERE mc >= 0 GROUP BY fence_id
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  AS term
+              FROM documents),
+            t2 AS (SELECT doc_id, term FROM toks WHERE term != ''),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM t2 GROUP BY 1, 2),
+            df AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.term,
+                     ROUND(tf.tf * (ln((nd.n + 1.0) / (df.dfc + 1.0))
+                                    + 1.0), 6) AS score
+                   FROM tf, df, nd WHERE tf.term = df.term)
+            SELECT doc_id, term, score, rank FROM (
+              SELECT doc_id, term, score,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rank
+              FROM sc) WHERE rank <= 3
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

@@ -92,3 +92,30 @@ def geohash(lat: Column, lng: Column, precision: int = 8) -> Column:
         for i in range(precision)
     ]
     return F.concat(*digits)
+
+
+def quadkey(x: Column, y: Column, zoom: int) -> Column:
+    """Bing-Maps base-4 quadkey of a (zoom, x, y) tile.
+
+    The string cell key whose every prefix is the ancestor tile (like
+    geohash, but exactly aligned to the XYZ pyramid): digit i is
+    ``x_bit + 2*y_bit`` at level i, MSB-down.  Pure codegen bit math —
+    an equality/prefix predicate on quadkeys prunes a tile subtree in
+    one string comparison."""
+    if zoom < 1:
+        raise ValueError("quadkey needs zoom >= 1")
+    digits = [
+        F.substring(
+            F.lit("0123"),
+            (
+                F.shiftright(x, i - 1).bitwiseAND(F.lit(1))
+                + F.shiftleft(
+                    F.shiftright(y, i - 1).bitwiseAND(F.lit(1)), 1
+                )
+                + 1
+            ).cast("int"),
+            1,
+        )
+        for i in range(zoom, 0, -1)
+    ]
+    return F.concat(*digits)

@@ -1,0 +1,93 @@
+"""Convex geofence membership — exact sign-fold point-in-polygon.
+
+Geofencing (which of a catalog of zones contains each point) is the
+broadcast-dim sibling of the tile PIP join (`operators/spatial.py`):
+the fence catalog is small by definition (thousands of zones vs 10^12
+points), so it broadcasts, and membership is evaluated per (point,
+fence) with zero shuffle before the final per-fence aggregate.
+
+For CONVEX fences the containment test needs no ray casting: a point
+is inside a CCW convex ring iff every edge's cross product
+``(x2-x1)(py-y1) - (y2-y1)(px-x1)`` is >= 0 (boundary counts as
+inside — the reference's on-edge convention, clipper.cs PIP).  That
+is a pure +,-,* double fold — IEEE-exact, so unlike the trig paths no
+rounding discipline is needed and a SQL engine reproduces the
+classification bit-for-bit.  The fold runs over a per-fence edge
+array with ``F.aggregate`` (codegen, no UDF).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EDGE_SCHEMA = (
+    "fence_id long, edges array<struct<x1:double,y1:double,"
+    "x2:double,y2:double>>"
+)
+
+
+def hex_fences(n: int = 12) -> list[tuple[int, list[tuple[float, ...]]]]:
+    """Deterministic catalog of ``n`` convex (regular-hexagon) fences.
+
+    Centers/radii derive from the fence id; vertices at ascending
+    angles → CCW.  Returns (fence_id, [(x1,y1,x2,y2), ...]) rows whose
+    float values are plain Python doubles — embedding the same repr()s
+    in SQL reproduces them exactly."""
+    out = []
+    for i in range(n):
+        cx = (i * 53 % 320) - 160 + 0.25
+        cy = (i * 29 % 140) - 70 + 0.25
+        r = 2.0 + (i % 5)
+        verts = [
+            (cx + r * math.cos(math.radians(60 * k + 15)),
+             cy + r * math.sin(math.radians(60 * k + 15)))
+            for k in range(6)
+        ]
+        edges = [
+            (verts[k][0], verts[k][1],
+             verts[(k + 1) % 6][0], verts[(k + 1) % 6][1])
+            for k in range(6)
+        ]
+        out.append((i, edges))
+    return out
+
+
+def _min_cross(px, py):
+    """Fold: minimum edge cross product; >= 0 ⇔ inside (CCW convex)."""
+    return F.aggregate(
+        F.col("edges"),
+        F.lit(float("inf")),
+        lambda acc, e: F.least(
+            acc,
+            (e["x2"] - e["x1"]) * (py - e["y1"])
+            - (e["y2"] - e["y1"]) * (px - e["x1"]),
+        ),
+    )
+
+
+def geofence_join(
+    points: DataFrame,
+    fences: DataFrame,
+    x_col: str = "lng",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Tag each point with every convex fence containing it.
+
+    ``fences``: (fence_id, edges array<struct x1,y1,x2,y2>) — CCW
+    convex rings; broadcast.  Returns the points' columns + fence_id,
+    one row per (point, containing fence)."""
+    return (
+        points.crossJoin(F.broadcast(fences))
+        .where(_min_cross(F.col(x_col), F.col(y_col)) >= 0)
+        .drop("edges")
+    )
+
+
+def fence_catalog(spark: SparkSession, n: int = 12) -> DataFrame:
+    return spark.createDataFrame(
+        [(fid, [tuple(e) for e in edges]) for fid, edges in hex_fences(n)],
+        _EDGE_SCHEMA,
+    )

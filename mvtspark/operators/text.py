@@ -10,7 +10,7 @@ path, so they codegen and scale linearly).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _STOPWORDS = (
@@ -175,4 +175,55 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", *[
             c.alias(k) for k, c in repetition_cols(F.col(text_col)).items()
         ]
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic relevance /
+    keyword-extraction signal, fully native.
+
+    Pipeline: explode tokens (split-on-\\s+, the module's token
+    semantics) → per-(doc, term) counts → per-term document frequency
+    → smooth idf ``ln((N+1)/(df+1)) + 1`` → score = tf·idf, ROUNDED to
+    6 decimals BEFORE ranking so the (score desc, term asc) order is
+    identical cross-engine despite libm ln ulps.
+
+    Scale shape: three key-partitioned shuffles (doc+term agg, term
+    agg, doc window) — the term dimension is Zipf-heavy but the df agg
+    is a map-side-partial count, and N is a broadcast scalar, not a
+    driver collect into the plan."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("dfc") + 1.0)
+                    )
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
     )

@@ -85,3 +85,27 @@ def test_haversine_known_distance_and_identities(spark):
         assert r.d == pytest.approx(r.approx_km, rel=2e-3)
         assert r.d == r.d_sym  # symmetric op order -> bit-identical
         assert r.d_self == 0.0
+
+
+def test_quadkey_bing_vector_and_prefix(spark):
+    """Bing's documented example: tile (x=3, y=5, z=3) -> '213'; every
+    quadkey's prefix is its ancestor tile's quadkey."""
+    from mvtspark.functions.geodesy import quadkey
+
+    df = spark.createDataFrame(
+        [(3, 5), (0, 0), (7, 7), (4, 2)], "x int, y int"
+    )
+    rows = df.select(
+        "x", "y",
+        quadkey(F.col("x"), F.col("y"), 3).alias("qk3"),
+        quadkey(
+            F.shiftright(F.col("x"), 1), F.shiftright(F.col("y"), 1), 2
+        ).alias("qk2"),
+    ).collect()
+    by_xy = {(r.x, r.y): r for r in rows}
+    assert by_xy[(3, 5)].qk3 == "213"
+    assert by_xy[(0, 0)].qk3 == "000"
+    assert by_xy[(7, 7)].qk3 == "333"
+    for r in rows:
+        assert r.qk3.startswith(r.qk2)
+        assert len(r.qk3) == 3 and set(r.qk3) <= set("0123")

@@ -88,6 +88,12 @@ AUDITS = {
     # PQ: broadcast codebook product + ONE partial-agg shuffle for all
     # 8 codes (min_by structs sort-aggregate), broadcast ADC tables
     "pq_ann_topk": ["BroadcastNestedLoopJoin", "SortAggregate"],
+    # quadkey is pure bit-math codegen over the native tile assignment
+    "quadkey_cells": ["codegen id", "HashAggregate"],
+    # broadcast fence dim; the sign-fold PIP filter runs pre-shuffle
+    "convex_geofence_pip": ["BroadcastNestedLoopJoin", "HashAggregate"],
+    # explode + two key aggs + broadcast scalar N + doc window
+    "tfidf_top_terms": ["Generate", "HashAggregate", "Window"],
 }
 
 
