@@ -455,6 +455,73 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return _tfidf(_t(spark, sf, "documents"), k=3)
 
 
+def session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """W4 counterpart using Spark's NATIVE `session_window` (the manual
+    lag+cumsum sessionization is `sessionize_events`; this exercises
+    the built-in gap-merge operator, batch mode).  Session end is
+    last-event + gap (Spark's convention); the oracle replays it with
+    the >= gap break rule, which is the same convention."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("sw.end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
+
+
+def event_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot/crosstab: hourly event counts spread to one column per
+    type — Spark's `groupBy().pivot()` with the value list PINNED (an
+    unpinned pivot runs an extra distinct job and its column order
+    depends on collected data).  The oracle is conditional
+    aggregation, the relational dual of pivot."""
+    e = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.withColumn(
+            "hour_us",
+            F.unix_micros(F.date_trunc("hour", F.col("ts")).cast("timestamp")),
+        )
+        .groupBy("hour_us")
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "hour_us",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+        )
+    )
+
+
+def top_tokens_global(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-50 vocabulary terms: explode → map-side-partial count
+    agg → `orderBy().limit()` which Spark plans as TakeOrderedAndProject
+    (per-partition top-k, only 50×partitions rows reach the driver-side
+    merge — never a global sort).  Ties at the cut break by term asc."""
+    from mvtspark.operators.text import tokens
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(50)
+    )
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -1741,6 +1808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_cells": quadkey_cells,
         "convex_geofence_pip": convex_geofence_pip,
         "tfidf_top_terms": tfidf_top_terms,
+        "session_window_agg": session_window_agg,
+        "event_type_pivot": event_type_pivot,
+        "top_tokens_global": top_tokens_global,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -2305,6 +2375,42 @@ def oracle_sql() -> dict[str, str]:
                 ROW_NUMBER() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, term ASC) AS rank
               FROM sc) WHERE rank <= 3
+        """,
+        "session_window_agg": """
+            WITH s AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            b AS (SELECT user_id, us,
+                    CASE WHEN LAG(us) OVER w IS NULL
+                           OR us - LAG(us) OVER w >= 1800000000
+                         THEN 1 ELSE 0 END AS brk
+                  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+            -- default RANGE frame: timestamp-tied rows share one sid
+            sid AS (SELECT user_id, us,
+                      SUM(brk) OVER (PARTITION BY user_id ORDER BY us)
+                        AS sid
+                    FROM b)
+            SELECT user_id,
+              MIN(us) AS session_start_us,
+              MAX(us) + 1800000000 AS session_end_us,
+              COUNT(*) AS n_events
+            FROM sid GROUP BY user_id, sid
+        """,
+        "event_type_pivot": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+              COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+              COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+              COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+              COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+              COUNT(*) FILTER (WHERE event_type = 'view') AS view
+            FROM events GROUP BY 1
+        """,
+        "top_tokens_global": """
+            WITH toks AS (SELECT
+                unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  AS term
+              FROM documents),
+            c AS (SELECT term, COUNT(*) AS cnt FROM toks
+                  WHERE term != '' GROUP BY 1)
+            SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 50
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

@@ -94,6 +94,12 @@ AUDITS = {
     "convex_geofence_pip": ["BroadcastNestedLoopJoin", "HashAggregate"],
     # explode + two key aggs + broadcast scalar N + doc window
     "tfidf_top_terms": ["Generate", "HashAggregate", "Window"],
+    # native gap-merge session windows (batch mode)
+    "session_window_agg": ["MergingSessions", "Sort"],
+    # pivot with pinned values = one two-phase agg, no distinct job
+    "event_type_pivot": ["HashAggregate"],
+    # top-k must plan as TakeOrderedAndProject, never a global Sort
+    "top_tokens_global": ["TakeOrderedAndProject", "HashAggregate"],
 }
 
 
