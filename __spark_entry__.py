@@ -522,6 +522,79 @@ def top_tokens_global(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def value_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Numerically-EXACT distributed moments + correlation: `value` has
+    2-decimal resolution, so it scales to integer cents (round-then-
+    cast, the engine's exact-integer discipline) and every sufficient
+    statistic (Σx, Σx², Σxy) is an order-independent integer SUM.
+    Mean/variance/correlation derive from those exact integers with an
+    expression both engines evaluate identically — the scale-out answer
+    to "floating SUM changes with partitioning" (Spark's stddev/corr
+    merge state in shuffle order; this never does)."""
+    e = _t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    uid = F.col("user_id")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("long").alias("sx"),
+        F.sum(cents * cents).cast("long").alias("sxx"),
+        F.sum(uid).cast("long").alias("sy"),
+        F.sum(uid * uid).cast("long").alias("syy"),
+        F.sum(cents * uid).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mean = (F.col("sx") / 100.0) / nd
+    var = (F.col("sxx") / 10000.0) / nd - mean * mean
+    corr_num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr_den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "sx",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("stddev_pop"),
+        F.round(corr_num / corr_den, 6).alias("corr_value_user"),
+    )
+
+
+def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of `value` (bucket = floor(v/2), clamped
+    to [0, 12]) — counts and exact-cents sums per bucket, the classic
+    one-pass profile scan (map-side partials, one small shuffle)."""
+    e = _t(spark, sf, "events")
+    b = F.least(F.greatest(F.floor(F.col("value") / 2.0), F.lit(0)), F.lit(12))
+    return (
+        e.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )
+
+
+def props_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured column handling: parse the `props` JSON string
+    with a TYPED `from_json` schema (schema-on-read — Catalyst prunes
+    to the single field; no regex hacks), then aggregate by k decile.
+    The everyday pipeline op for event payloads."""
+    e = _t(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -1811,6 +1884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": session_window_agg,
         "event_type_pivot": event_type_pivot,
         "top_tokens_global": top_tokens_global,
+        "value_moments": value_moments,
+        "value_histogram": value_histogram,
+        "props_json_extract": props_json_extract,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -2411,6 +2487,45 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT term, COUNT(*) AS cnt FROM toks
                   WHERE term != '' GROUP BY 1)
             SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 50
+        """,
+        "value_moments": """
+            WITH s AS (SELECT event_type, user_id,
+                         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents
+                       FROM events),
+            a AS (SELECT event_type, COUNT(*) AS n,
+                    CAST(SUM(cents) AS BIGINT) AS sx,
+                    CAST(SUM(cents * cents) AS BIGINT) AS sxx,
+                    CAST(SUM(user_id) AS BIGINT) AS sy,
+                    CAST(SUM(user_id * user_id) AS BIGINT) AS syy,
+                    CAST(SUM(cents * user_id) AS BIGINT) AS sxy
+                  FROM s GROUP BY 1)
+            SELECT event_type, n, sx,
+              ROUND((sx / 100.0) / CAST(n AS DOUBLE), 6) AS mean_value,
+              ROUND(sqrt((sxx / 10000.0) / CAST(n AS DOUBLE)
+                - ((sx / 100.0) / CAST(n AS DOUBLE))
+                  * ((sx / 100.0) / CAST(n AS DOUBLE))), 6) AS stddev_pop,
+              ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                       * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+                AS corr_value_user
+            FROM a
+        """,
+        "value_histogram": """
+            SELECT CAST(LEAST(GREATEST(FLOOR(value / 2.0), 0), 12)
+                        AS BIGINT) AS bucket,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
+                   AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1
+        """,
+        "props_json_extract": """
+            WITH s AS (SELECT
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+            SELECT k % 10 AS k_mod, COUNT(*) AS n,
+              CAST(SUM(k) AS BIGINT) AS sum_k,
+              CAST(MAX(k) AS BIGINT) AS max_k
+            FROM s GROUP BY 1
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

@@ -100,6 +100,11 @@ AUDITS = {
     "event_type_pivot": ["HashAggregate"],
     # top-k must plan as TakeOrderedAndProject, never a global Sort
     "top_tokens_global": ["TakeOrderedAndProject", "HashAggregate"],
+    # exact-integer sufficient statistics: one partial-agg shuffle
+    "value_moments": ["HashAggregate", "codegen id"],
+    "value_histogram": ["HashAggregate", "codegen id"],
+    # typed from_json must stay inside codegen (no python UDF)
+    "props_json_extract": ["from_json", "HashAggregate"],
 }
 
 
