@@ -595,6 +595,49 @@ def props_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT percentiles per group (`F.percentile`, the sort-based
+    exact operator — `approx_percentile` is the sketch path): p50/p90/
+    p99 of `value`, rounded to 6 to absorb interpolation-formula ulps.
+    DuckDB's `quantile_cont` uses the same pos = p·(n−1) definition."""
+    e = _t(spark, sf, "events")
+    p = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        e.groupBy("event_type")
+        .agg(p.alias("ps"))
+        .select(
+            "event_type",
+            F.round(F.col("ps")[0], 6).alias("p50"),
+            F.round(F.col("ps")[1], 6).alias("p90"),
+            F.round(F.col("ps")[2], 6).alias("p99"),
+        )
+    )
+
+
+def user_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-function breadth: rank, dense_rank, percent_rank and
+    cume_dist over each customer's spend-ordered orders (tie-agnostic —
+    tied prices get equal values, so no tiebreak column is needed for
+    determinism), plus ntile(4) over the fully-tiebroken order (ntile
+    is position-based, so it NEEDS the o_orderkey tiebreak).  Both
+    windows share one hash partitioning; percent_rank/cume_dist are
+    exact ratios of ints, rounded to 6."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    wt = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -1887,6 +1930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_moments": value_moments,
         "value_histogram": value_histogram,
         "props_json_extract": props_json_extract,
+        "value_percentiles": value_percentiles,
+        "user_rank_functions": user_rank_functions,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -2526,6 +2571,26 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(k) AS BIGINT) AS sum_k,
               CAST(MAX(k) AS BIGINT) AS max_k
             FROM s GROUP BY 1
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+              ROUND(quantile_cont(value, 0.5), 6) AS p50,
+              ROUND(quantile_cont(value, 0.9), 6) AS p90,
+              ROUND(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY 1
+        """,
+        "user_rank_functions": """
+            SELECT o_custkey, o_orderkey,
+              RANK() OVER w AS rnk,
+              DENSE_RANK() OVER w AS drnk,
+              NTILE(4) OVER wt AS quartile,
+              ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+              ROUND(CUME_DIST() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC),
+                   wt AS (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey)
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

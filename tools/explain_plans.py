@@ -105,6 +105,10 @@ AUDITS = {
     "value_histogram": ["HashAggregate", "codegen id"],
     # typed from_json must stay inside codegen (no python UDF)
     "props_json_extract": ["from_json", "HashAggregate"],
+    # exact percentile is a typed-buffer aggregate (Object/Sort agg)
+    "value_percentiles": ["Aggregate", "percentile"],
+    # both rank windows sit over one sorted partitioning on o_custkey
+    "user_rank_functions": ["Window", "Sort"],
 }
 
 
