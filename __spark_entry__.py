@@ -638,6 +638,35 @@ def user_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit skew-spread JOIN (`operators/skew.py::salted_join`):
+    a deliberately skewed fact key (90% of events collapse to key 0)
+    joined to a 5-row dim through a per-row hash salt, so the hot key
+    spreads over 8 reducers instead of one.  The salt is a pure
+    function of event_id — results are set-equal to the plain join,
+    which IS the oracle.  (The dynamic counterpart, AQE skew split, is
+    evidenced in tests/test_skew_join.py with `skew=true` plans.)"""
+    from mvtspark.operators.skew import salted_join
+
+    e = _t(spark, sf, "events")
+    fact = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(0).cast("long"))
+        .otherwise(F.floor(F.col("event_id") / 10) % 5)
+        .alias("k"),
+    )
+    r = _t(spark, sf, "region")
+    dim = r.select(F.col("r_regionkey").cast("long").alias("k"), "r_name")
+    return (
+        salted_join(fact, dim, on="k", tiebreak="event_id", n_salt=8)
+        .groupBy("k", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+    )
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -1932,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_extract": props_json_extract,
         "value_percentiles": value_percentiles,
         "user_rank_functions": user_rank_functions,
+        "salted_skew_join": salted_skew_join,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -2591,6 +2621,18 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY o_totalprice DESC),
                    wt AS (PARTITION BY o_custkey
                           ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "salted_skew_join": """
+            WITH fact AS (SELECT event_id,
+                CASE WHEN event_id % 10 < 9 THEN 0
+                     ELSE CAST(FLOOR(event_id / 10) AS BIGINT) % 5 END AS k
+              FROM events),
+            dim AS (SELECT CAST(r_regionkey AS BIGINT) AS k, r_name
+                    FROM region)
+            SELECT f.k, d.r_name, COUNT(*) AS n,
+                   CAST(SUM(f.event_id) AS BIGINT) AS sum_ids
+            FROM fact f JOIN dim d ON f.k = d.k
+            GROUP BY f.k, d.r_name
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

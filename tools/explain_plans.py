@@ -109,6 +109,10 @@ AUDITS = {
     "value_percentiles": ["Aggregate", "percentile"],
     # both rank windows sit over one sorted partitioning on o_custkey
     "user_rank_functions": ["Window", "Sort"],
+    # per-row hash salt joins on (k, _salt): a shuffled hash join, the
+    # hot key spread over n_salt reducers (AQE dynamic twin in
+    # tests/test_skew_join.py asserts skew=true)
+    "salted_skew_join": ["ShuffledHashJoin", "HashAggregate"],
 }
 
 
