@@ -667,6 +667,19 @@ def salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def image_channel_goldens(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-channel pixel sums FROM BYTES vs frozen goldens
+    (`operators/multimodal.py::channel_sums`): decodes 120 synthetic
+    images (raw + PNG codecs) and emits exact int64 channel sums; the
+    oracle is a literal VALUES table computed once and pinned — the
+    decoder never touches the oracle side, closing the self-consistency
+    hole the roundtrip invariants leave open."""
+    from mvtspark.operators.multimodal import channel_sums
+    from mvtspark.sources.images import synth_images
+
+    return channel_sums(synth_images(spark, 120))
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -1962,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": value_percentiles,
         "user_rank_functions": user_rank_functions,
         "salted_skew_join": salted_skew_join,
+        "image_channel_goldens": image_channel_goldens,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -2054,6 +2068,133 @@ def _hex_sql(src: str, idcol: str, res: int, out: str) -> str:
                          AND abs(rx-qf) > abs(rz-rf))
                      AND NOT(abs(ry-(-qf-rf)) > abs(rz-rf))
                THEN -rx-ry ELSE rz END AS BIGINT) AS r FROM {out}_c))"""
+
+
+# Frozen per-image channel-sum goldens for synth_image(0..119) —
+# computed ONCE from the decoded pixels and pinned as literals (the
+# S2-goldens pattern): the oracle never calls the repo's decoder, so
+# decode regressions cannot cancel out.  (image_id, n_px, sum_r,
+# sum_g, sum_b)
+_CHANNEL_GOLDENS = """('img000000000000', 256, 34138, 32981, 32512),
+('img000000000001', 512, 67186, 65792, 59613),
+('img000000000002', 768, 95467, 97987, 97702),
+('img000000000003', 1024, 132399, 129876, 130347),
+('img000000000004', 512, 67233, 64560, 62790),
+('img000000000005', 1024, 131086, 133825, 127542),
+('img000000000006', 1536, 190304, 197666, 195621),
+('img000000000007', 2048, 257354, 263545, 264166),
+('img000000000008', 768, 97316, 97020, 97603),
+('img000000000009', 1536, 195320, 196668, 190632),
+('img000000000010', 2304, 302355, 293519, 298485),
+('img000000000011', 3072, 392688, 392859, 397761),
+('img000000000012', 1024, 128479, 131228, 132995),
+('img000000000013', 2048, 255044, 262139, 255796),
+('img000000000014', 3072, 397530, 390311, 393790),
+('img000000000015', 4096, 523696, 519718, 521254),
+('img000000000016', 256, 32611, 30096, 31600),
+('img000000000017', 512, 65341, 65221, 63734),
+('img000000000018', 768, 97409, 99699, 96228),
+('img000000000019', 1024, 132741, 128689, 128705),
+('img000000000020', 512, 63863, 66459, 67924),
+('img000000000021', 1024, 130952, 132801, 133821),
+('img000000000022', 1536, 188731, 192694, 197629),
+('img000000000023', 2048, 265124, 262888, 261407),
+('img000000000024', 768, 95892, 97244, 94147),
+('img000000000025', 1536, 192016, 192315, 198656),
+('img000000000026', 2304, 296246, 301162, 292117),
+('img000000000027', 3072, 387482, 394610, 388229),
+('img000000000028', 1024, 131339, 132621, 132787),
+('img000000000029', 2048, 268087, 261233, 263333),
+('img000000000030', 3072, 393301, 398220, 381919),
+('img000000000031', 4096, 520322, 534786, 523441),
+('img000000000032', 256, 33122, 31188, 32887),
+('img000000000033', 512, 61308, 68132, 65654),
+('img000000000034', 768, 100557, 99284, 100886),
+('img000000000035', 1024, 133295, 127887, 125089),
+('img000000000036', 512, 65700, 64837, 60951),
+('img000000000037', 1024, 127830, 129013, 131606),
+('img000000000038', 1536, 200043, 194412, 191890),
+('img000000000039', 2048, 261948, 261334, 267481),
+('img000000000040', 768, 96197, 96067, 94272),
+('img000000000041', 1536, 198791, 196772, 197253),
+('img000000000042', 2304, 287379, 288581, 291229),
+('img000000000043', 3072, 392522, 403925, 394299),
+('img000000000044', 1024, 132099, 134092, 133048),
+('img000000000045', 2048, 259039, 253403, 256941),
+('img000000000046', 3072, 398613, 383420, 392480),
+('img000000000047', 4096, 516456, 517871, 519449),
+('img000000000048', 256, 33021, 32061, 31589),
+('img000000000049', 512, 67380, 65110, 67041),
+('img000000000050', 768, 98944, 98721, 93072),
+('img000000000051', 1024, 125111, 130165, 128709),
+('img000000000052', 512, 66948, 66290, 62846),
+('img000000000053', 1024, 130193, 133636, 132847),
+('img000000000054', 1536, 191351, 192894, 197598),
+('img000000000055', 2048, 258817, 264962, 263054),
+('img000000000056', 768, 100350, 94094, 95853),
+('img000000000057', 1536, 197793, 196039, 194566),
+('img000000000058', 2304, 291273, 291944, 291015),
+('img000000000059', 3072, 389111, 394439, 396691),
+('img000000000060', 1024, 130588, 128111, 132615),
+('img000000000061', 2048, 263955, 260412, 269004),
+('img000000000062', 3072, 387715, 386977, 390626),
+('img000000000063', 4096, 509304, 517748, 525098),
+('img000000000064', 256, 32863, 31889, 33622),
+('img000000000065', 512, 62619, 70464, 66417),
+('img000000000066', 768, 98481, 102256, 99110),
+('img000000000067', 1024, 128461, 132715, 129919),
+('img000000000068', 512, 63208, 64959, 64444),
+('img000000000069', 1024, 133189, 135054, 129956),
+('img000000000070', 1536, 196389, 201660, 201958),
+('img000000000071', 2048, 261487, 260544, 261821),
+('img000000000072', 768, 97762, 97637, 99598),
+('img000000000073', 1536, 194418, 197531, 191349),
+('img000000000074', 2304, 297697, 298656, 294391),
+('img000000000075', 3072, 394419, 392885, 387702),
+('img000000000076', 1024, 133178, 130866, 133902),
+('img000000000077', 2048, 258834, 263235, 258700),
+('img000000000078', 3072, 389682, 382136, 391384),
+('img000000000079', 4096, 516761, 515526, 528957),
+('img000000000080', 256, 30623, 33321, 34177),
+('img000000000081', 512, 62329, 64428, 66716),
+('img000000000082', 768, 100160, 95680, 98336),
+('img000000000083', 1024, 130229, 127923, 129164),
+('img000000000084', 512, 65265, 63174, 64803),
+('img000000000085', 1024, 133530, 131893, 129278),
+('img000000000086', 1536, 193798, 194500, 195194),
+('img000000000087', 2048, 254530, 260317, 261877),
+('img000000000088', 768, 96854, 96690, 96603),
+('img000000000089', 1536, 193697, 196941, 193187),
+('img000000000090', 2304, 289614, 294148, 295585),
+('img000000000091', 3072, 402102, 390077, 387309),
+('img000000000092', 1024, 131066, 124054, 128242),
+('img000000000093', 2048, 260910, 261349, 262991),
+('img000000000094', 3072, 387200, 399721, 389684),
+('img000000000095', 4096, 521142, 519325, 517466),
+('img000000000096', 256, 32586, 31671, 30895),
+('img000000000097', 512, 66599, 64638, 64963),
+('img000000000098', 768, 99501, 95726, 99878),
+('img000000000099', 1024, 130119, 131102, 130672),
+('img000000000100', 512, 64917, 63028, 61744),
+('img000000000101', 1024, 135001, 130834, 134867),
+('img000000000102', 1536, 189759, 192810, 201200),
+('img000000000103', 2048, 262470, 253866, 262090),
+('img000000000104', 768, 98723, 97649, 96611),
+('img000000000105', 1536, 195555, 198288, 191730),
+('img000000000106', 2304, 287696, 289258, 294993),
+('img000000000107', 3072, 389947, 393677, 396873),
+('img000000000108', 1024, 129822, 133742, 132432),
+('img000000000109', 2048, 261773, 266197, 262125),
+('img000000000110', 3072, 392305, 389273, 394219),
+('img000000000111', 4096, 521314, 523320, 530983),
+('img000000000112', 256, 32799, 33368, 34506),
+('img000000000113', 512, 64204, 64506, 64252),
+('img000000000114', 768, 99949, 98680, 98433),
+('img000000000115', 1024, 132469, 130486, 127916),
+('img000000000116', 512, 64189, 68978, 68053),
+('img000000000117', 1024, 129694, 128422, 133862),
+('img000000000118', 1536, 198171, 193737, 198065),
+('img000000000119', 2048, 262076, 259475, 263590)"""
 
 
 def _merc_xy(zoom: int) -> tuple[str, str]:
@@ -2633,6 +2774,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(f.event_id) AS BIGINT) AS sum_ids
             FROM fact f JOIN dim d ON f.k = d.k
             GROUP BY f.k, d.r_name
+        """,
+        "image_channel_goldens": f"""
+            SELECT image_id,
+              CAST(n_px AS BIGINT) AS n_px,
+              CAST(sum_r AS BIGINT) AS sum_r,
+              CAST(sum_g AS BIGINT) AS sum_g,
+              CAST(sum_b AS BIGINT) AS sum_b
+            FROM (VALUES {_CHANNEL_GOLDENS})
+              v(image_id, n_px, sum_r, sum_g, sum_b)
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

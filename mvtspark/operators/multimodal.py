@@ -251,3 +251,46 @@ def phash_near_dup_pairs(
         F.col("id_b").alias("image_b"),
         "hamming",
     )
+
+
+CHANNEL_SUMS_SCHEMA = (
+    "image_id string, n_px long, sum_r long, sum_g long, sum_b long"
+)
+
+
+def channel_sums(images: DataFrame) -> DataFrame:
+    """Exact integer per-channel pixel sums, computed FROM BYTES.
+
+    Unlike `image_roundtrip_stats` (which re-synthesizes its reference
+    through the same decoder — self-consistent), this op's contract
+    query pins the sums against FROZEN goldens embedded in the oracle
+    SQL, so a regression anywhere in the decode path (raw stride view,
+    PNG inflate/unfilter) breaks the hash gate even if it breaks
+    "both sides" of the roundtrip identically.  Sums are int64-exact —
+    order-independent, engine-independent."""
+
+    def _sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mvtspark.kernels.image import decode_image
+
+        for pdf in batches:
+            out = {
+                "image_id": [], "n_px": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for row in pdf.itertuples(index=False):
+                img = decode_image(
+                    bytes(row.bytes), int(row.w), int(row.h), row.fmt
+                )
+                a = img.astype(np.int64)
+                out["image_id"].append(row.image_id)
+                out["n_px"].append(int(row.w) * int(row.h))
+                out["sum_r"].append(int(a[:, :, 0].sum()))
+                out["sum_g"].append(int(a[:, :, 1].sum()))
+                out["sum_b"].append(int(a[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _sums, CHANNEL_SUMS_SCHEMA
+    )

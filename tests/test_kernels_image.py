@@ -109,3 +109,27 @@ def test_synth_skew():
     ) ** 2
     near_city = (d2.min(axis=1) < 1.0).mean()
     assert 0.75 < near_city < 0.9
+
+
+def test_channel_sums_from_bytes_match_numpy(spark):
+    import numpy as np
+
+    from mvtspark.kernels.image import decode_image, synth_image
+    from mvtspark.operators.multimodal import channel_sums
+    from mvtspark.sources.images import synth_images
+
+    out = {r.image_id: r for r in channel_sums(synth_images(spark, 9)).collect()}
+    assert len(out) == 9
+    fmts = set()
+    for i in range(9):
+        data, w, h, fmt = synth_image(i)
+        fmts.add(fmt)
+        a = decode_image(data, w, h, fmt).astype(np.int64)
+        r = out[f"img{i:012d}"]
+        assert (r.n_px, r.sum_r, r.sum_g, r.sum_b) == (
+            w * h,
+            int(a[:, :, 0].sum()),
+            int(a[:, :, 1].sum()),
+            int(a[:, :, 2].sum()),
+        )
+    assert fmts == {"raw", "png"}  # both codecs exercised

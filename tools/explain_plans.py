@@ -113,6 +113,8 @@ AUDITS = {
     # hot key spread over n_salt reducers (AQE dynamic twin in
     # tests/test_skew_join.py asserts skew=true)
     "salted_skew_join": ["ShuffledHashJoin", "HashAggregate"],
+    # byte decode over Arrow batches, no shuffle at all
+    "image_channel_goldens": ["MapInPandas"],
 }
 
 
