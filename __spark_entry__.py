@@ -680,6 +680,50 @@ def image_channel_goldens(spark: SparkSession, sf: str) -> DataFrame:
     return channel_sums(synth_images(spark, 120))
 
 
+def streaming_geofence_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming geofence ALERTING, driver-visible and ORACLED
+    (`streaming/pipeline.py::stream_geofence_transitions`): a bounded
+    two-file ping stream (split by user, so each user is batch-complete
+    — the cross-batch state path is pinned separately in
+    tests/test_streaming.py) runs the applyInPandasWithState enter/exit
+    detector against the hexagon fence catalog under
+    Trigger.AvailableNow; DuckDB replays membership + lag-over-(user,
+    fence) relationally and every transition row must hash-match."""
+    import tempfile
+    import uuid as _uuid
+
+    from mvtspark.operators.geofence import hex_fences
+    from mvtspark.streaming import file_pings_stream, stream_geofence_transitions
+
+    base = tempfile.mkdtemp(prefix="mvtspark_geoq_")
+    e = _t(spark, sf, "events")
+    pings = e.select(
+        "user_id",
+        "ts",
+        ((F.col("event_id") % 3600) / 10.0 - 179.947).alias("lng"),
+        (((F.col("event_id") * 7) % 1600) / 10.0 - 79.947).alias("lat"),
+    )
+    pings.where(F.col("user_id") < 25).coalesce(1).write.mode("append").parquet(
+        base + "/in"
+    )
+    pings.where(F.col("user_id") >= 25).coalesce(1).write.mode(
+        "append"
+    ).parquet(base + "/in")
+
+    stream = file_pings_stream(spark, base + "/in", max_files_per_trigger=1)
+    alerts = stream_geofence_transitions(stream, hex_fences())
+    name = "geoq_" + _uuid.uuid4().hex[:8]
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select("user_id", "ts_us", "fence_id", "entered")
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -1976,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_rank_functions": user_rank_functions,
         "salted_skew_join": salted_skew_join,
         "image_channel_goldens": image_channel_goldens,
+        "streaming_geofence_alerts": streaming_geofence_alerts,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -2783,6 +2828,25 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum_b AS BIGINT) AS sum_b
             FROM (VALUES {_CHANNEL_GOLDENS})
               v(image_id, n_px, sum_r, sum_g, sum_b)
+        """,
+        "streaming_geofence_alerts": f"""
+            WITH pts AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                (event_id % 3600)/10.0 - 179.947 AS lng,
+                ((event_id*7) % 1600)/10.0 - 79.947 AS lat
+              FROM events),
+            edges(fence_id, x1, y1, x2, y2) AS (VALUES {_fence_rows}),
+            memb AS (SELECT p.user_id, p.ts_us, e.fence_id,
+                       MIN((e.x2 - e.x1) * (p.lat - e.y1)
+                           - (e.y2 - e.y1) * (p.lng - e.x1)) >= 0 AS inside
+                     FROM pts p, edges e GROUP BY 1, 2, 3),
+            tr AS (SELECT user_id, ts_us, fence_id, inside,
+                     LAG(inside, 1, false) OVER (
+                       PARTITION BY user_id, fence_id ORDER BY ts_us)
+                       AS prev
+                   FROM memb)
+            SELECT user_id, ts_us, CAST(fence_id AS INT) AS fence_id,
+                   inside AS entered
+            FROM tr WHERE inside != prev
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

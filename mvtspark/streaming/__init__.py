@@ -1,13 +1,17 @@
 from .pipeline import (
+    file_pings_stream,
     file_points_stream,
     stream_encode_sink,
+    stream_geofence_transitions,
     stream_running_tile_totals,
     stream_tile_counts,
 )
 
 __all__ = [
+    "file_pings_stream",
     "file_points_stream",
     "stream_tile_counts",
     "stream_encode_sink",
     "stream_running_tile_totals",
+    "stream_geofence_transitions",
 ]

@@ -160,3 +160,97 @@ def stream_running_tile_totals(points: DataFrame, zoom: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PING_STREAM_SCHEMA = "user_id long, ts timestamp_ntz, lng double, lat double"
+
+
+def file_pings_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming source over a directory of (user, ts, lng, lat) ping
+    parquet files — the geofence-alerting input shape."""
+    return (
+        spark.readStream.schema(PING_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_geofence_transitions(
+    pings: DataFrame, fences: list[tuple[int, list[tuple[float, ...]]]]
+) -> DataFrame:
+    """Geofence ALERTING: stateful enter/exit transition detection.
+
+    The streaming marriage of the convex sign-fold PIP
+    (`operators/geofence.py`) and ``applyInPandasWithState``: per user,
+    the state store carries (last fence-membership bitmask, running
+    transition count) across micro-batches; each batch sorts its pings
+    by event time, classifies them against the broadcast fence catalog
+    with one vectorized cross-product pass, and emits one row per
+    membership flip — ``(user_id, ts_us, fence_id, entered)``.
+
+    State is 2 int64 per live user (bounded by user cardinality, not
+    stream length); grouping key is user_id, so state shuffles like any
+    per-user agg. Transition semantics assume a user's pings arrive
+    time-ordered ACROSS batches (the file layout in the contract query
+    makes each user batch-complete; the cross-batch path is pinned by
+    tests/test_streaming.py with explicitly ordered files)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_f = len(fences)
+    flat = [e for _, edges in sorted(fences) for e in edges]
+    ex1 = np.array([e[0] for e in flat])
+    ey1 = np.array([e[1] for e in flat])
+    ex2 = np.array([e[2] for e in flat])
+    ey2 = np.array([e[3] for e in flat])
+    n_edges = len(flat) // n_f
+
+    def _update(key, pdfs, state: GroupState):
+        prev_mask, n_trans = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            yield pd.DataFrame(
+                {"user_id": [], "ts_us": [], "fence_id": [], "entered": []}
+            )
+            return
+        pdf = pdf.sort_values("ts")
+        px = pdf["lng"].to_numpy()
+        py = pdf["lat"].to_numpy()
+        ts_us = (pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        # (N, F*E) edge cross products -> per-fence min over its E edges
+        cross = (ex2 - ex1) * (py[:, None] - ey1) - (ey2 - ey1) * (
+            px[:, None] - ex1
+        )
+        inside = cross.reshape(len(px), n_f, n_edges).min(axis=2) >= 0
+        masks = (inside.astype(np.int64) << np.arange(n_f)).sum(axis=1)
+        prev_seq = np.concatenate(([prev_mask], masks[:-1]))
+        diff = masks ^ prev_seq
+        out = {"user_id": [], "ts_us": [], "fence_id": [], "entered": []}
+        for i in np.nonzero(diff)[0]:
+            d = int(diff[i])
+            m = int(masks[i])
+            f = 0
+            while d:
+                if d & 1:
+                    out["user_id"].append(int(key[0]))
+                    out["ts_us"].append(int(ts_us[i]))
+                    out["fence_id"].append(f)
+                    out["entered"].append(bool((m >> f) & 1))
+                d >>= 1
+                f += 1
+        n_trans += len(out["user_id"])
+        state.update((int(masks[-1]), int(n_trans)))
+        yield pd.DataFrame(out)
+
+    return pings.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=(
+            "user_id long, ts_us long, fence_id int, entered boolean"
+        ),
+        stateStructType="last_mask long, n_trans long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -166,3 +166,64 @@ def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
         .collect()
     }
     assert finals == batch_counts
+
+
+def test_geofence_transitions_state_spans_batches(spark, tmp_path):
+    """A user whose track is SPLIT across two ordered micro-batch files
+    must not re-emit an 'enter' for a fence it was already inside — the
+    state store's last_mask carries the membership across batches."""
+    import datetime as dt
+    import os as _os
+    import time
+
+    from mvtspark.operators.geofence import hex_fences
+    from mvtspark.streaming import file_pings_stream, stream_geofence_transitions
+
+    fences = hex_fences(1)
+    # fence 0 center:
+    edges = fences[0][1]
+    cx = sum(e[0] for e in edges) / 6
+    cy = sum(e[1] for e in edges) / 6
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ping(i, inside):
+        off = 0.3 if inside else 50.0
+        return (7, t0 + dt.timedelta(minutes=i), cx + off, cy)
+
+    base = str(tmp_path / "in")
+    # batch 1: outside -> inside (one enter); still inside at batch end
+    b1 = spark.createDataFrame(
+        [ping(0, False), ping(1, True), ping(2, True)],
+        "user_id long, ts timestamp_ntz, lng double, lat double",
+    )
+    # batch 2: starts inside (NO new enter), then exits (one exit)
+    b2 = spark.createDataFrame(
+        [ping(3, True), ping(4, False)],
+        "user_id long, ts timestamp_ntz, lng double, lat double",
+    )
+    b1.coalesce(1).write.mode("append").parquet(base)
+    time.sleep(0.05)
+    b2.coalesce(1).write.mode("append").parquet(base)
+    # force strictly increasing mtimes so file order == event order
+    files = sorted(
+        (f for f in _os.listdir(base) if f.endswith(".parquet")),
+        key=lambda f: _os.path.getmtime(_os.path.join(base, f)),
+    )
+    for k, f in enumerate(files):
+        p = _os.path.join(base, f)
+        _os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    stream = file_pings_stream(spark, base, max_files_per_trigger=1)
+    name = "geot_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_geofence_transitions(stream, fences)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(spark.table(name).collect(), key=lambda r: r.ts_us)
+    assert [(r.fence_id, r.entered) for r in rows] == [(0, True), (0, False)]
+    assert rows[0].user_id == 7
