@@ -1830,13 +1830,20 @@ def hex_cell_keys(spark: SparkSession, sf: str) -> DataFrame:
     that makes the join key free at 100 TB)."""
     from mvtspark.functions import hexgrid as hx
 
+    # TWO projections, parent derived from the materialized h8 COLUMN:
+    # nesting hex_parent(hex_cell(...)) inlines the whole mercator tree
+    # ~6x, blowing the generated method past janino's 64 KB limit
+    # (codegen falls back to interpreted — 17s vs 1.5s at sf0.01).
+    # CollapseProject keeps the split because h8 is non-cheap and
+    # multiply-referenced.
     pts = _event_points(spark, sf)
-    h8 = hx.hex_cell(F.col("lng"), F.col("lat"), 8)
-    return pts.select(
+    step1 = pts.select(
         "event_id",
-        h8.alias("h8"),
+        hx.hex_cell(F.col("lng"), F.col("lat"), 8).alias("h8"),
         hx.hex_cell(F.col("lng"), F.col("lat"), 6).alias("h6"),
-        hx.hex_parent(h8, 7).alias("h7p"),
+    )
+    return step1.select(
+        "event_id", "h8", "h6", hx.hex_parent(F.col("h8"), 7).alias("h7p")
     )
 
 
@@ -1858,11 +1865,16 @@ def hex_kring_counts(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_nationkey") * 14.0 - 170.0).alias("lng"),
         (F.col("n_nationkey") * 6.0 - 70.0).alias("lat"),
     )
-    ring = sites.select(
+    # materialize the site cell BEFORE the 19-way ring expansion — the
+    # nested form duplicates the full lat/lng→cell tree into every ring
+    # element and the Generate stage's method exceeds janino's 64 KB
+    # limit (ERROR CodeGenerator + interpreted fallback)
+    site_cells = sites.select(
+        "site_id", hx.hex_cell(F.col("lng"), F.col("lat"), 5).alias("c0")
+    )
+    ring = site_cells.select(
         "site_id",
-        F.explode(
-            hx.hex_ring_cells(hx.hex_cell(F.col("lng"), F.col("lat"), 5), 2)
-        ).alias("cell"),
+        F.explode(hx.hex_ring_cells(F.col("c0"), 2)).alias("cell"),
     )
     return (
         pts.join(F.broadcast(ring), "cell")

@@ -475,29 +475,41 @@ def embedding_rh_lsh_dups(
     threshold comparison bit-reproducible.
     """
     planes = rh_planes(bands * bits, dim, seed)
-    signs = [
-        (
-            F.aggregate(
+    # ONE 2-D literal coefficient array referenced through a column:
+    # building a separate 64-literal array per plane inlines ~3000
+    # expression nodes, and the self-join below duplicates that tree
+    # into both sides — analysis + codegen dominated the runtime (27s →
+    # 10s at sf0.01 after this restructure; identical fold order and
+    # values, so the oracle is untouched).
+    plane_arr = F.array(
+        *[F.array(*[F.lit(float(c)) for c in row]) for row in planes]
+    )
+
+    def _band_key(b: int):
+        def _bit(k: int):
+            p = b * bits + k
+            dot = F.aggregate(
                 F.zip_with(
                     F.col("embedding"),
-                    F.array(*[F.lit(c) for c in planes[p]]),
+                    F.element_at(F.col("_planes"), p + 1),
                     lambda x, y: x.cast("double") * y,
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            >= 0
-        ).cast("long")
-        for p in range(bands * bits)
-    ]
-    band_keys = F.array(
-        *[
-            sum(signs[b * bits + k] * F.lit(1 << (bits - 1 - k)) for k in range(bits))
-            for b in range(bands)
-        ]
-    )
-    slim = emb.select(
-        F.col("vec_id"), F.posexplode(band_keys).alias("band", "key")
+            return (dot >= 0).cast("long") * F.lit(1 << (bits - 1 - k))
+
+        return sum(_bit(k) for k in range(bits))
+
+    band_keys = F.array(*[_band_key(b) for b in range(bands)])
+    # materialize the slim signature table eagerly: it is the artifact
+    # an LSH pipeline persists anyway (3 small ints per (vec, band)),
+    # and without it the self-join recomputes every hyperplane fold on
+    # BOTH sides (no exchange for ReuseExchange to dedupe)
+    slim = (
+        emb.withColumn("_planes", plane_arr)
+        .select(F.col("vec_id"), F.posexplode(band_keys).alias("band", "key"))
+        .localCheckpoint(eager=True)
     )
     cand = (
         slim.alias("a")
