@@ -724,6 +724,24 @@ def streaming_geofence_alerts(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name).select("user_id", "ts_us", "fence_id", "entered")
 
 
+def hex_polyfill_fences(spark: SparkSession, sf: str) -> DataFrame:
+    """H3-style POLYFILL (`functions/hexgrid.py::hex_polyfill_convex`):
+    cover each world-projected convex fence with the res-7 hex cells
+    whose centers fall inside — vertex-derived axial ranges, bounded
+    sequence×sequence explode, sign-fold center test, all codegen.
+    Fence vertices are projected ONCE driver-side and embedded as
+    literals, so no trig runs at query time and the DuckDB oracle
+    replays every +,-,* bit-for-bit."""
+    from mvtspark.functions.hexgrid import hex_polyfill_convex
+    from mvtspark.operators.geofence import world_fence_verts
+
+    polys = spark.createDataFrame(
+        [(fid, verts) for fid, verts in world_fence_verts()],
+        "poly_id long, verts array<struct<x:double,y:double>>",
+    )
+    return hex_polyfill_convex(polys, res=7)
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -2033,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": salted_skew_join,
         "image_channel_goldens": image_channel_goldens,
         "streaming_geofence_alerts": streaming_geofence_alerts,
+        "hex_polyfill_fences": hex_polyfill_fences,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -2279,12 +2298,23 @@ def oracle_sql() -> dict[str, str]:
     # convex hexagon fence catalog — SAME generator invocation as the
     # Spark dim (operators/geofence.py::hex_fences), repr()'d doubles
     from mvtspark.operators.geofence import hex_fences as _hf
+    from mvtspark.operators.geofence import world_fence_verts as _wfv
 
     _fence_rows = ", ".join(
         f"({fid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
         for fid, edges in _hf()
         for (x1, y1, x2, y2) in edges
     )
+    _poly_vert_rows = ", ".join(
+        f"({fid}, {i}, {x!r}, {y!r})"
+        for fid, verts in _wfv()
+        for i, (x, y) in enumerate(verts)
+    )
+    from mvtspark.functions.hexgrid import _A as _HXA
+    from mvtspark.functions.hexgrid import _B as _HXB
+    from mvtspark.functions.hexgrid import _C as _HXC
+    from mvtspark.functions.hexgrid import _D as _HXD
+    from mvtspark.functions.hexgrid import _E as _HXE
     _hd = repr(math.sqrt(3.0))
     _he = repr(math.sqrt(3.0) / 2.0)
     # the minhash permutation constants — SAME generator invocation as the
@@ -2859,6 +2889,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ts_us, CAST(fence_id AS INT) AS fence_id,
                    inside AS entered
             FROM tr WHERE inside != prev
+        """,
+        "hex_polyfill_fences": f"""
+            WITH verts(poly_id, idx, x, y) AS (VALUES {_poly_vert_rows}),
+            b AS (SELECT poly_id,
+                    CAST(FLOOR(MIN((x * {_HXA!r} - y * {_HXB!r}) * 0.125))
+                         AS BIGINT) - 1 AS q_lo,
+                    CAST(FLOOR(MAX((x * {_HXA!r} - y * {_HXB!r}) * 0.125))
+                         AS BIGINT) + 1 AS q_hi,
+                    CAST(FLOOR(MIN((y * {_HXC!r}) * 0.125)) AS BIGINT) - 1
+                      AS r_lo,
+                    CAST(FLOOR(MAX((y * {_HXC!r}) * 0.125)) AS BIGINT) + 1
+                      AS r_hi
+                  FROM verts GROUP BY poly_id),
+            cq AS (SELECT poly_id, r_lo, r_hi,
+                     unnest(generate_series(q_lo, q_hi)) AS q FROM b),
+            cand AS (SELECT poly_id, q, r,
+                       (CAST(q AS DOUBLE) * {_HXD!r}
+                        + CAST(r AS DOUBLE) * {_HXE!r}) * 8.0 AS cx,
+                       (CAST(r AS DOUBLE) * 1.5) * 8.0 AS cy
+                     FROM (SELECT poly_id, q,
+                             unnest(generate_series(r_lo, r_hi)) AS r
+                           FROM cq)),
+            edges AS (SELECT v1.poly_id, v1.x AS x1, v1.y AS y1,
+                             v2.x AS x2, v2.y AS y2
+                      FROM verts v1 JOIN verts v2
+                        ON v1.poly_id = v2.poly_id
+                       AND v2.idx = (v1.idx + 1) % 6),
+            mc AS (SELECT c.poly_id, c.q, c.r,
+                     MIN((e.x2 - e.x1) * (c.cy - e.y1)
+                         - (e.y2 - e.y1) * (c.cx - e.x1)) AS m
+                   FROM cand c JOIN edges e ON c.poly_id = e.poly_id
+                   GROUP BY 1, 2, 3)
+            SELECT poly_id,
+              CAST(7 AS BIGINT) * 288230376151711744
+                + (q + 134217728) * 536870912 + (r + 134217728) AS cell,
+              q, r
+            FROM mc WHERE m >= 0
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

@@ -124,3 +124,75 @@ def hex_distance(cell_a: Column, cell_b: Column) -> Column:
     dr = hex_r(cell_a) - hex_r(cell_b)
     # the sum is always even; integer-divide to stay a long
     return F.shiftright(F.abs(dq) + F.abs(dr) + F.abs(dq + dr), 1)
+
+
+def hex_polyfill_convex(polys: "DataFrame", res: int) -> "DataFrame":
+    """POLYFILL: all res-``res`` cells whose CENTER lies inside a convex
+    world-space polygon (H3's polyfill containment mode), fully native.
+
+    ``polys``: (poly_id, verts array<struct<x:double,y:double>>) —
+    CCW-in-world-coords convex rings (project lng/lat vertices with the
+    same mercator formula ONCE, driver-side, and embed the doubles —
+    then every runtime step here is +,-,* on literals/dyadics, so a SQL
+    oracle replays the classification bit-for-bit, no trig ulps).
+
+    Plan shape: the axial (q, r) candidate range comes from the
+    polygon's own vertices (convexity puts the extremes at vertices —
+    two array_min/max folds), a bounded ``sequence`` × ``sequence``
+    double explode generates O(area/cell²) candidates per polygon, and
+    the sign-fold center-in-polygon filter runs pre-shuffle.  At scale
+    the polygon catalog is the small side; the emitted (poly_id, cell)
+    table is the cover-join key set (join the fact table on its bare
+    cell id, exactly like the k-ring pattern)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError("res must be 0..24")
+    inv = F.lit(2.0 ** (res - 10))
+    size = F.lit(2.0 ** (10 - res))
+    vx = lambda v: v["x"]  # noqa: E731
+    vy = lambda v: v["y"]  # noqa: E731
+    qf = lambda v: (vx(v) * F.lit(_A) - vy(v) * F.lit(_B)) * inv  # noqa: E731
+    rf = lambda v: (vy(v) * F.lit(_C)) * inv  # noqa: E731
+    verts = F.col("verts")
+    bounds = polys.select(
+        "poly_id",
+        "verts",
+        (F.floor(F.array_min(F.transform(verts, qf))) - 1).alias("q_lo"),
+        (F.floor(F.array_max(F.transform(verts, qf))) + 1).alias("q_hi"),
+        (F.floor(F.array_min(F.transform(verts, rf))) - 1).alias("r_lo"),
+        (F.floor(F.array_max(F.transform(verts, rf))) + 1).alias("r_hi"),
+    )
+    cand = bounds.select(
+        "poly_id",
+        "verts",
+        F.explode(F.sequence(F.col("q_lo"), F.col("q_hi"))).alias("q"),
+        F.col("r_lo"),
+        F.col("r_hi"),
+    ).select(
+        "poly_id",
+        "verts",
+        "q",
+        F.explode(F.sequence(F.col("r_lo"), F.col("r_hi"))).alias("r"),
+    )
+    cx = (F.col("q").cast("double") * F.lit(_D) + F.col("r").cast("double") * F.lit(_E)) * size
+    cy = F.col("r").cast("double") * F.lit(1.5) * size
+    n = F.size(verts)
+    # min over edges (v_i -> v_{i+1 mod n}) of the CCW cross product
+    mc = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(float("inf")),
+        lambda acc, i: F.least(
+            acc,
+            (
+                (vx(F.element_at(verts, (i + 1) % n + 1)) - vx(F.element_at(verts, i + 1)))
+                * (cy - vy(F.element_at(verts, i + 1)))
+                - (vy(F.element_at(verts, (i + 1) % n + 1)) - vy(F.element_at(verts, i + 1)))
+                * (cx - vx(F.element_at(verts, i + 1)))
+            ),
+        ),
+    )
+    return cand.where(mc >= 0).select(
+        "poly_id",
+        hex_pack(res, F.col("q"), F.col("r")).alias("cell"),
+        "q",
+        "r",
+    )

@@ -91,3 +91,30 @@ def fence_catalog(spark: SparkSession, n: int = 12) -> DataFrame:
         [(fid, [tuple(e) for e in edges]) for fid, edges in hex_fences(n)],
         _EDGE_SCHEMA,
     )
+
+
+def world_fence_verts(n: int = 12) -> list[tuple[int, list[tuple[float, float]]]]:
+    """The fence catalog's vertices projected to zoom-0 4096-extent
+    mercator world coords, re-oriented CCW IN WORLD SPACE (mercator
+    flips Y, so the lng/lat-CCW ring arrives CW).  Projection runs once
+    driver-side; downstream consumers (hex polyfill) embed these doubles
+    as literals, so no trig runs at query time in either engine."""
+    out = []
+    for fid, edges in hex_fences(n):
+        w = []
+        for lng, lat, _, _ in edges:
+            wx = (lng + 180.0) / 360.0 * 4096.0
+            s = math.sin(math.radians(lat))
+            wy = (
+                0.5 - math.log((1.0 + s) / (1.0 - s)) / (4.0 * math.pi)
+            ) * 4096.0
+            w.append((wx, wy))
+        m = len(w)
+        area2 = sum(
+            w[i][0] * w[(i + 1) % m][1] - w[(i + 1) % m][0] * w[i][1]
+            for i in range(m)
+        )
+        if area2 < 0:
+            w = w[::-1]
+        out.append((fid, w))
+    return out

@@ -158,3 +158,42 @@ def test_world_extent_fits_packing():
     assert (np.abs(q) < (1 << 27)).all() and (np.abs(r) < (1 << 27)).all()
     # and ids decode back
     np.testing.assert_array_equal(hk.hex_pack(hk.MAX_RES, q, r), cell)
+
+
+def test_polyfill_matches_independent_replica(spark):
+    """hex_polyfill_convex vs a pure-Python half-plane replay over the
+    same candidate ranges — set equality per fence."""
+    import math
+
+    from mvtspark.functions.hexgrid import _A, _B, _C, _D, _E, hex_polyfill_convex
+    from mvtspark.operators.geofence import world_fence_verts
+
+    fences = world_fence_verts()
+    polys = spark.createDataFrame(
+        fences, "poly_id long, verts array<struct<x:double,y:double>>"
+    )
+    got = {}
+    for r in hex_polyfill_convex(polys, res=7).collect():
+        got.setdefault(r.poly_id, set()).add((r.q, r.r))
+        # packed cell id must round-trip (res 7, bias 2^27)
+        assert r.cell == (7 << 58) + ((r.q + (1 << 27)) << 29) + (r.r + (1 << 27))
+
+    inv, size = 0.125, 8.0
+    want = {}
+    for fid, verts in fences:
+        qs = [(x * _A - y * _B) * inv for x, y in verts]
+        rs = [(y * _C) * inv for x, y in verts]
+        m = len(verts)
+        for q in range(math.floor(min(qs)) - 1, math.floor(max(qs)) + 2):
+            for r in range(math.floor(min(rs)) - 1, math.floor(max(rs)) + 2):
+                cx = (q * _D + r * _E) * size
+                cy = (r * 1.5) * size
+                mc = min(
+                    (verts[(i + 1) % m][0] - verts[i][0]) * (cy - verts[i][1])
+                    - (verts[(i + 1) % m][1] - verts[i][1]) * (cx - verts[i][0])
+                    for i in range(m)
+                )
+                if mc >= 0:
+                    want.setdefault(fid, set()).add((q, r))
+    assert got == want
+    assert sum(len(v) for v in got.values()) > 100

@@ -115,6 +115,9 @@ AUDITS = {
     "salted_skew_join": ["ShuffledHashJoin", "HashAggregate"],
     # byte decode over Arrow batches, no shuffle at all
     "image_channel_goldens": ["MapInPandas"],
+    # polyfill: bounded double sequence-explode + sign-fold filter,
+    # all pre-shuffle codegen
+    "hex_polyfill_fences": ["Generate", "codegen id"],
 }
 
 
