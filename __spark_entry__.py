@@ -898,16 +898,18 @@ def exact_dedup_prefix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (the verify stage of any LSH
-    pipeline), run over all-pairs candidates at this sf."""
-    from mvtspark.operators.dedup import ngram_jaccard_pairs
+    """Exact 3-gram Jaccard near-dup pairs: PREFIX-FILTER candidates
+    (`jaccard_prefix_candidates` — a guaranteed-exact equi-join superset,
+    never the O(n²) inequality cross join) + exact verify.  The oracle
+    stays the all-pairs SQL: prefix filtering is provably lossless, so
+    results are identical."""
+    from mvtspark.operators.dedup import (
+        jaccard_prefix_candidates,
+        ngram_jaccard_pairs,
+    )
 
     d = _t(spark, sf, "documents")
-    ids = d.select("doc_id")
-    cand = (
-        ids.select(F.col("doc_id").alias("doc_a"))
-        .join(ids.select(F.col("doc_id").alias("doc_b")), F.col("doc_a") < F.col("doc_b"))
-    )
+    cand = jaccard_prefix_candidates(d, n=3, threshold=0.5)
     return ngram_jaccard_pairs(d, cand, n=3, threshold=0.5)
 
 
@@ -1675,14 +1677,16 @@ def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     recursive reachability CTE — labels, canonical keepers and group
     sizes must all hash-match. The step every near-dup pipeline needs
     after pair generation (A~B, B~C must collapse to ONE group)."""
-    from mvtspark.operators.dedup import connected_components, ngram_jaccard_pairs
+    from mvtspark.operators.dedup import (
+        connected_components,
+        jaccard_prefix_candidates,
+        ngram_jaccard_pairs,
+    )
 
     d = _t(spark, sf, "documents")
-    ids = d.select("doc_id")
-    cand = ids.select(F.col("doc_id").alias("doc_a")).join(
-        ids.select(F.col("doc_id").alias("doc_b")),
-        F.col("doc_a") < F.col("doc_b"),
-    )
+    # exact prefix-filter candidates (lossless superset — see
+    # ngram_jaccard), so the reachability oracle is unchanged
+    cand = jaccard_prefix_candidates(d, n=3, threshold=0.5)
     pairs = ngram_jaccard_pairs(d, cand, n=3, threshold=0.5)
     return connected_components(pairs).select(
         "doc_id", "group_id", F.col("group_size").cast("long").alias("group_size")

@@ -253,6 +253,34 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def _shingle_sets(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sh array<string>) — distinct word n-gram shingles.
+
+    The token split is materialized as a COLUMN first: referencing
+    ``F.split(normalized_text())`` inside the transform lambda would
+    re-run the regex + split once PER ELEMENT (the HOF evaluates its
+    argument expressions per lambda call — the same
+    duplicated-subtree trap as the codegen-size fixes, in interpreted
+    form)."""
+    toked = docs.select(
+        "doc_id", F.split(normalized_text(), " ").alias("_toks")
+    )
+    return toked.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.lit(0), F.size(F.col("_toks")) - n),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_toks"), i + 1, n)
+                ),
+            )
+        ).alias("sh"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, candidates: DataFrame, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -261,21 +289,8 @@ def ngram_jaccard_pairs(
     Shingle sets built natively (split + transform + array_distinct);
     Jaccard via array_intersect/array_union sizes — no Python.
     """
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(
-                        F.lit(0), F.size(F.split(normalized_text(), " ")) - n
-                    ),
-                ),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.split(normalized_text(), " "), i + 1, n)
-                ),
-            )
-        ).alias("shingles"),
+    sh = _shingle_sets(docs, n).select(
+        "doc_id", F.col("sh").alias("shingles")
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -548,4 +563,51 @@ def embedding_rh_lsh_dups(
         .withColumn("cosine", dot / (F.col("norm_a") * F.col("norm_b")))
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def jaccard_prefix_candidates(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT candidate generation for Jaccard >= ``threshold`` — the
+    prefix-filtering equi-join (PPJoin family), never the O(n²)
+    inequality cross join.
+
+    Theorem (prefix filter): under any fixed total order of the shingle
+    universe, two sets with J(A,B) >= t must share at least one element
+    among each set's first ``|S| - ceil(t·|S|) + 1`` elements.  So
+    exploding only those prefixes and equi-joining on the shingle gives
+    a GUARANTEED superset of the true pairs — downstream exact
+    verification (`ngram_jaccard_pairs`) filters, and results are
+    provably identical to the all-pairs plan.
+
+    Order used: lexicographic (array_sort) — correctness needs only a
+    fixed total order.  At production scale, rarest-first frequency
+    order shrinks candidates further and a length filter
+    (|B| >= t·|A|) prunes more; both bolt on without changing the
+    join shape.  One explode + one equi-join shuffle + distinct."""
+    sh = _shingle_sets(docs, n).select(
+        "doc_id", F.array_sort(F.col("sh")).alias("sh")
+    )
+    plen = (
+        F.size(F.col("sh"))
+        - F.ceil(F.size(F.col("sh")) * F.lit(float(threshold))).cast("int")
+        + 1
+    )
+    # materialize the slim (doc_id, tok) prefix table eagerly — the
+    # self-join below would otherwise rebuild every shingle set twice
+    pref = sh.select(
+        "doc_id", F.explode(F.slice(F.col("sh"), 1, plen)).alias("tok")
+    ).localCheckpoint(eager=True)
+    return (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
