@@ -742,6 +742,36 @@ def hex_polyfill_fences(spark: SparkSession, sf: str) -> DataFrame:
     return hex_polyfill_convex(polys, res=7)
 
 
+def polyfill_cover_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Polyfill COVER JOIN — the composition the polyfill exists for:
+    the fence catalog polyfills to a broadcast (poly_id, cell) set and
+    the event fact table joins on its BARE res-7 hex cell — one
+    broadcast hash join, zero shuffle of the facts, per-fence counts.
+    Membership here is cell-granular (center-in-polygon coverage), the
+    coarse pre-filter a pipeline refines with the exact sign-fold PIP;
+    the oracle replays both sides relationally."""
+    from mvtspark.functions import hexgrid as hx
+    from mvtspark.functions.hexgrid import hex_polyfill_convex
+    from mvtspark.operators.geofence import world_fence_verts
+
+    polys = spark.createDataFrame(
+        [(fid, verts) for fid, verts in world_fence_verts()],
+        "poly_id long, verts array<struct<x:double,y:double>>",
+    )
+    cover = hex_polyfill_convex(polys, res=7).select("poly_id", "cell")
+    pts = _event_points(spark, sf).select(
+        "event_id", hx.hex_cell(F.col("lng"), F.col("lat"), 7).alias("cell")
+    )
+    return (
+        pts.join(F.broadcast(cover), "cell")
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+    )
+
+
 def mercator_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """D10/D19 projection parity: lat/lng → global mercator px → back.
     Round-trips to 4 decimals (~11 m), proving both directions match the
@@ -2056,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_channel_goldens": image_channel_goldens,
         "streaming_geofence_alerts": streaming_geofence_alerts,
         "hex_polyfill_fences": hex_polyfill_fences,
+        "polyfill_cover_counts": polyfill_cover_counts,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -2319,6 +2350,46 @@ def oracle_sql() -> dict[str, str]:
     from mvtspark.functions.hexgrid import _C as _HXC
     from mvtspark.functions.hexgrid import _D as _HXD
     from mvtspark.functions.hexgrid import _E as _HXE
+
+    # res-7 polyfill of the world-projected fence catalog — shared by
+    # hex_polyfill_fences and polyfill_cover_counts (op-for-op replay of
+    # functions/hexgrid.py::hex_polyfill_convex)
+    _polyfill_ctes = f"""
+            verts(poly_id, idx, x, y) AS (VALUES {_poly_vert_rows}),
+            b AS (SELECT poly_id,
+                    CAST(FLOOR(MIN((x * {_HXA!r} - y * {_HXB!r}) * 0.125))
+                         AS BIGINT) - 1 AS q_lo,
+                    CAST(FLOOR(MAX((x * {_HXA!r} - y * {_HXB!r}) * 0.125))
+                         AS BIGINT) + 1 AS q_hi,
+                    CAST(FLOOR(MIN((y * {_HXC!r}) * 0.125)) AS BIGINT) - 1
+                      AS r_lo,
+                    CAST(FLOOR(MAX((y * {_HXC!r}) * 0.125)) AS BIGINT) + 1
+                      AS r_hi
+                  FROM verts GROUP BY poly_id),
+            cq AS (SELECT poly_id, r_lo, r_hi,
+                     unnest(generate_series(q_lo, q_hi)) AS q FROM b),
+            pcand AS (SELECT poly_id, q, r,
+                       (CAST(q AS DOUBLE) * {_HXD!r}
+                        + CAST(r AS DOUBLE) * {_HXE!r}) * 8.0 AS cx,
+                       (CAST(r AS DOUBLE) * 1.5) * 8.0 AS cy
+                     FROM (SELECT poly_id, q,
+                             unnest(generate_series(r_lo, r_hi)) AS r
+                           FROM cq)),
+            pedges AS (SELECT v1.poly_id, v1.x AS x1, v1.y AS y1,
+                             v2.x AS x2, v2.y AS y2
+                      FROM verts v1 JOIN verts v2
+                        ON v1.poly_id = v2.poly_id
+                       AND v2.idx = (v1.idx + 1) % 6),
+            pmc AS (SELECT c.poly_id, c.q, c.r,
+                     MIN((e.x2 - e.x1) * (c.cy - e.y1)
+                         - (e.y2 - e.y1) * (c.cx - e.x1)) AS m
+                   FROM pcand c JOIN pedges e ON c.poly_id = e.poly_id
+                   GROUP BY 1, 2, 3),
+            pcells AS (SELECT poly_id,
+              CAST(7 AS BIGINT) * 288230376151711744
+                + (q + 134217728) * 536870912 + (r + 134217728) AS cell,
+              q, r
+            FROM pmc WHERE m >= 0)"""
     _hd = repr(math.sqrt(3.0))
     _he = repr(math.sqrt(3.0) / 2.0)
     # the minhash permutation constants — SAME generator invocation as the
@@ -2895,41 +2966,18 @@ def oracle_sql() -> dict[str, str]:
             FROM tr WHERE inside != prev
         """,
         "hex_polyfill_fences": f"""
-            WITH verts(poly_id, idx, x, y) AS (VALUES {_poly_vert_rows}),
-            b AS (SELECT poly_id,
-                    CAST(FLOOR(MIN((x * {_HXA!r} - y * {_HXB!r}) * 0.125))
-                         AS BIGINT) - 1 AS q_lo,
-                    CAST(FLOOR(MAX((x * {_HXA!r} - y * {_HXB!r}) * 0.125))
-                         AS BIGINT) + 1 AS q_hi,
-                    CAST(FLOOR(MIN((y * {_HXC!r}) * 0.125)) AS BIGINT) - 1
-                      AS r_lo,
-                    CAST(FLOOR(MAX((y * {_HXC!r}) * 0.125)) AS BIGINT) + 1
-                      AS r_hi
-                  FROM verts GROUP BY poly_id),
-            cq AS (SELECT poly_id, r_lo, r_hi,
-                     unnest(generate_series(q_lo, q_hi)) AS q FROM b),
-            cand AS (SELECT poly_id, q, r,
-                       (CAST(q AS DOUBLE) * {_HXD!r}
-                        + CAST(r AS DOUBLE) * {_HXE!r}) * 8.0 AS cx,
-                       (CAST(r AS DOUBLE) * 1.5) * 8.0 AS cy
-                     FROM (SELECT poly_id, q,
-                             unnest(generate_series(r_lo, r_hi)) AS r
-                           FROM cq)),
-            edges AS (SELECT v1.poly_id, v1.x AS x1, v1.y AS y1,
-                             v2.x AS x2, v2.y AS y2
-                      FROM verts v1 JOIN verts v2
-                        ON v1.poly_id = v2.poly_id
-                       AND v2.idx = (v1.idx + 1) % 6),
-            mc AS (SELECT c.poly_id, c.q, c.r,
-                     MIN((e.x2 - e.x1) * (c.cy - e.y1)
-                         - (e.y2 - e.y1) * (c.cx - e.x1)) AS m
-                   FROM cand c JOIN edges e ON c.poly_id = e.poly_id
-                   GROUP BY 1, 2, 3)
-            SELECT poly_id,
-              CAST(7 AS BIGINT) * 288230376151711744
-                + (q + 134217728) * 536870912 + (r + 134217728) AS cell,
-              q, r
-            FROM mc WHERE m >= 0
+            WITH {_polyfill_ctes}
+            SELECT poly_id, cell, q, r FROM pcells
+        """,
+        "polyfill_cover_counts": f"""
+            WITH {_polyfill_ctes},
+            pts AS ({_EVENT_PTS}),
+            w AS (SELECT event_id, {gx0} AS wx, {gy0} AS wy FROM pts),
+            {_hex_sql('w', 'event_id', 7, 'e7')}
+            SELECT pc.poly_id, COUNT(*) AS n_events,
+                   CAST(SUM(e7.event_id) AS BIGINT) AS sum_ids
+            FROM e7 JOIN pcells pc ON e7.cell = pc.cell
+            GROUP BY pc.poly_id
         """,
         "mercator_roundtrip": f"""
             WITH pts AS ({_EVENT_PTS}),

@@ -118,6 +118,9 @@ AUDITS = {
     # polyfill: bounded double sequence-explode + sign-fold filter,
     # all pre-shuffle codegen
     "hex_polyfill_fences": ["Generate", "codegen id"],
+    # cover join: broadcast polyfill cells, facts join on bare cell —
+    # zero shuffle of the fact table before the partial agg
+    "polyfill_cover_counts": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 
