@@ -680,6 +680,45 @@ def image_channel_goldens(spark: SparkSession, sf: str) -> DataFrame:
     return channel_sums(synth_images(spark, 120))
 
 
+def image_fliprot_invariants(spark: SparkSession, sf: str) -> DataFrame:
+    """Geometric augmentation gate (`multimodal.py::flip_rot_invariants`):
+    flip/rot90 from bytes; channel sums of the AUGMENTED image must
+    still match the frozen goldens (pixel permutations preserve sums),
+    double-flip / 4×rot90 must reproduce the original exactly, and the
+    corner probe proves the ops moved pixels (verified offline: no
+    golden image has equal corner pixels, so all three flags are
+    constant TRUE in the oracle)."""
+    from mvtspark.operators.multimodal import flip_rot_invariants
+    from mvtspark.sources.images import synth_images
+
+    return flip_rot_invariants(synth_images(spark, 120))
+
+
+def cdc_upsert_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC latest-wins upsert (`operators/cdc.py` — MERGE INTO
+    semantics): the events table read as a change feed keyed by
+    user_id, versioned by (ts, event_id), with event_type='error' as
+    the delete marker.  ONE max_by aggregation with map-side partials —
+    never a window sort over the whole feed.  The oracle replays it
+    with a rank-1 window, a deliberately different plan that must land
+    on identical rows."""
+    from mvtspark.operators.cdc import latest_wins_upsert
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("value_cents"),
+    )
+    return latest_wins_upsert(
+        e,
+        key_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        is_delete=F.col("event_type") == "error",
+    )
+
+
 def streaming_geofence_alerts(spark: SparkSession, sf: str) -> DataFrame:
     """Stateful streaming geofence ALERTING, driver-visible and ORACLED
     (`streaming/pipeline.py::stream_geofence_transitions`): a bounded
@@ -2087,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_geofence_alerts": streaming_geofence_alerts,
         "hex_polyfill_fences": hex_polyfill_fences,
         "polyfill_cover_counts": polyfill_cover_counts,
+        "image_fliprot_invariants": image_fliprot_invariants,
+        "cdc_upsert_snapshot": cdc_upsert_snapshot,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -2945,6 +2986,31 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum_b AS BIGINT) AS sum_b
             FROM (VALUES {_CHANNEL_GOLDENS})
               v(image_id, n_px, sum_r, sum_g, sum_b)
+        """,
+        "image_fliprot_invariants": f"""
+            SELECT image_id,
+              CAST(n_px AS BIGINT) AS n_px,
+              CAST(sum_r AS BIGINT) AS sum_r,
+              CAST(sum_g AS BIGINT) AS sum_g,
+              CAST(sum_b AS BIGINT) AS sum_b,
+              TRUE AS flip2_identity,
+              TRUE AS rot4_identity,
+              TRUE AS corner_moved
+            FROM (VALUES {_CHANNEL_GOLDENS})
+              v(image_id, n_px, sum_r, sum_g, sum_b)
+        """,
+        "cdc_upsert_snapshot": """
+            WITH feed AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                event_type,
+                CAST(ROUND(value * 100.0, 0) AS BIGINT) AS value_cents
+              FROM events),
+            ranked AS (SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC)
+                  AS rn
+              FROM feed)
+            SELECT user_id, event_id, ts_us, event_type, value_cents
+            FROM ranked WHERE rn = 1 AND event_type != 'error'
         """,
         "streaming_geofence_alerts": f"""
             WITH pts AS (SELECT user_id, epoch_us(ts) AS ts_us,

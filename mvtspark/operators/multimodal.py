@@ -294,3 +294,59 @@ def channel_sums(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         _sums, CHANNEL_SUMS_SCHEMA
     )
+
+
+FLIPROT_SCHEMA = (
+    "image_id string, n_px long, sum_r long, sum_g long, sum_b long, "
+    "flip2_identity boolean, rot4_identity boolean, corner_moved boolean"
+)
+
+
+def flip_rot_invariants(images: DataFrame) -> DataFrame:
+    """Geometric augmentations (horizontal flip, rot90) with EXACT
+    verification: channel sums are invariant under both ops (pixel
+    permutations), double-flip and quadruple-rot90 must reproduce the
+    original bytes exactly, and a corner probe proves the ops aren't
+    no-ops.  The emitted sums hash against the same FROZEN goldens as
+    `channel_sums`, so the augmentation path inherits the
+    decoder-independent gate."""
+
+    def _aug(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mvtspark.kernels.image import decode_image
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "n_px", "sum_r", "sum_g", "sum_b",
+                "flip2_identity", "rot4_identity", "corner_moved",
+            )}
+            for row in pdf.itertuples(index=False):
+                img = decode_image(
+                    bytes(row.bytes), int(row.w), int(row.h), row.fmt
+                )
+                flipped = img[:, ::-1, :]
+                rot = np.rot90(img, k=1, axes=(0, 1))
+                a = flipped.astype(np.int64)  # sums from the AUGMENTED image
+                out["image_id"].append(row.image_id)
+                out["n_px"].append(int(row.w) * int(row.h))
+                out["sum_r"].append(int(a[:, :, 0].sum()))
+                out["sum_g"].append(int(a[:, :, 1].sum()))
+                out["sum_b"].append(int(a[:, :, 2].sum()))
+                out["flip2_identity"].append(
+                    bool(np.array_equal(flipped[:, ::-1, :], img))
+                )
+                out["rot4_identity"].append(
+                    bool(np.array_equal(np.rot90(rot, k=3, axes=(0, 1)), img))
+                )
+                out["corner_moved"].append(
+                    bool(
+                        not np.array_equal(img[0, 0], img[0, -1])
+                        and np.array_equal(flipped[0, 0], img[0, -1])
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _aug, FLIPROT_SCHEMA
+    )

@@ -121,6 +121,10 @@ AUDITS = {
     # cover join: broadcast polyfill cells, facts join on bare cell —
     # zero shuffle of the fact table before the partial agg
     "polyfill_cover_counts": ["BroadcastHashJoin", "HashAggregate"],
+    # augmentation path is byte decode over Arrow batches, no shuffle
+    "image_fliprot_invariants": ["MapInPandas"],
+    # MERGE compaction: max_by partials, never a Window sort
+    "cdc_upsert_snapshot": ["partial_max_by", "Aggregate"],
 }
 
 
