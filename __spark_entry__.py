@@ -719,6 +719,25 @@ def cdc_upsert_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def scd2_user_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 history (`operators/cdc.py::scd2_intervals`): every
+    change row with its validity interval (valid_from/valid_to/
+    is_current) via one lead window — the history table whose compacted
+    head is `cdc_upsert_snapshot`."""
+    from mvtspark.operators.cdc import scd2_intervals
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    return scd2_intervals(
+        e, key_cols=["user_id"], order_cols=["ts_us", "event_id"],
+        ts_col="ts_us",
+    )
+
+
 def streaming_geofence_alerts(spark: SparkSession, sf: str) -> DataFrame:
     """Stateful streaming geofence ALERTING, driver-visible and ORACLED
     (`streaming/pipeline.py::stream_geofence_transitions`): a bounded
@@ -2128,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_cover_counts": polyfill_cover_counts,
         "image_fliprot_invariants": image_fliprot_invariants,
         "cdc_upsert_snapshot": cdc_upsert_snapshot,
+        "scd2_user_history": scd2_user_history,
         "mercator_roundtrip": mercator_roundtrip,
         "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
@@ -3011,6 +3031,18 @@ def oracle_sql() -> dict[str, str]:
               FROM feed)
             SELECT user_id, event_id, ts_us, event_type, value_cents
             FROM ranked WHERE rn = 1 AND event_type != 'error'
+        """,
+        "scd2_user_history": """
+            WITH feed AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                event_type FROM events)
+            SELECT user_id, event_id, ts_us, event_type,
+              ts_us AS valid_from,
+              LEAD(ts_us) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS valid_to,
+              LEAD(ts_us) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) IS NULL
+                AS is_current
+            FROM feed
         """,
         "streaming_geofence_alerts": f"""
             WITH pts AS (SELECT user_id, epoch_us(ts) AS ts_us,

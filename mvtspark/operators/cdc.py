@@ -45,3 +45,25 @@ def latest_wins_upsert(
     if is_delete is not None:
         last = last.where(~is_delete)
     return last
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: every change row plus
+    its validity interval — ``valid_from`` = its own ``ts_col``,
+    ``valid_to`` = the next change's timestamp for the key (NULL while
+    current), ``is_current`` on the open row.  One lead window — one
+    shuffle on the key; the companion ``latest_wins_upsert`` is the
+    compacted head of this table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -48,3 +48,23 @@ def test_plan_is_partial_agg_not_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "max_by" in plan and "partial_max_by" in plan, plan
+
+
+def test_scd2_intervals_chain(spark):
+    from mvtspark.operators.cdc import scd2_intervals
+
+    rows = sorted(
+        scd2_intervals(
+            _feed(spark),
+            key_cols=["key"],
+            order_cols=["ver", "change_id"],
+            ts_col="ver",
+        )
+        .where(F.col("key") == 1)
+        .collect(),
+        key=lambda r: r.ver,
+    )
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in rows] == [
+        (1, 2, False),
+        (2, None, True),
+    ]

@@ -125,6 +125,8 @@ AUDITS = {
     "image_fliprot_invariants": ["MapInPandas"],
     # MERGE compaction: max_by partials, never a Window sort
     "cdc_upsert_snapshot": ["partial_max_by", "Aggregate"],
+    # SCD2 history: ONE lead window on the key
+    "scd2_user_history": ["Window", "Sort"],
 }
 
 
