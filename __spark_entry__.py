@@ -226,12 +226,18 @@ def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
 
 # -------------------------------------------------- spatial / mercator ops
 
-def _event_points(spark: SparkSession, sf: str) -> DataFrame:
+def _event_points(
+    spark: SparkSession, sf: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Deterministic geotags derived from event ids (offsets chosen so no
-    point lands within double-ulp of a tile boundary — see tile_assign)."""
+    point lands within double-ulp of a tile boundary — see tile_assign).
+    ``extra`` carries additional event columns (user_id, ts) through —
+    the ONE place the lng/lat formulas live on the Spark side (the SQL
+    twin is _EVENT_PTS)."""
     e = _t(spark, sf, "events")
     return e.select(
         "event_id",
+        *extra,
         ((F.col("event_id") % 3600) / 10.0 - 179.947).alias("lng"),
         (((F.col("event_id") * 7) % 1600) / 10.0 - 79.947).alias("lat"),
     )
@@ -364,20 +370,14 @@ def user_track_stats(spark: SparkSession, sf: str) -> DataFrame:
     user's geotagged events by (ts, event_id), lag-window the previous
     ping, haversine each segment, reduce to movement totals.  ONE
     shuffle — the groupBy reuses the window's hash partitioning on
-    user_id.  Segment km rounds to 4 decimals then scales to integer
-    km·10⁴ BEFORE summing, so the sum is order-independent and the
-    DuckDB window oracle reproduces it exactly."""
+    user_id.  Segment km is scaled to km·10⁴ and ROUNDED TO AN EXACT
+    INTEGER before summing (rounding before scaling would leave a
+    non-integral double whose long cast truncates in Spark but rounds
+    in DuckDB), so the sum is order-independent and the DuckDB window
+    oracle reproduces it exactly."""
     from mvtspark.operators.trajectory import track_stats
 
-    e = _t(spark, sf, "events")
-    pings = e.select(
-        "event_id",
-        "user_id",
-        "ts",
-        ((F.col("event_id") % 3600) / 10.0 - 179.947).alias("lng"),
-        (((F.col("event_id") * 7) % 1600) / 10.0 - 79.947).alias("lat"),
-    )
-    return track_stats(pings)
+    return track_stats(_event_points(spark, sf, extra=("user_id", "ts")))
 
 
 def grid_density_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -459,8 +459,9 @@ def session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     """W4 counterpart using Spark's NATIVE `session_window` (the manual
     lag+cumsum sessionization is `sessionize_events`; this exercises
     the built-in gap-merge operator, batch mode).  Session end is
-    last-event + gap (Spark's convention); the oracle replays it with
-    the >= gap break rule, which is the same convention."""
+    last-event + gap, and events EXACTLY gap apart merge (verified by
+    repro: two events 30 min apart → one session), so the oracle's
+    break rule is strictly `> gap`."""
     e = _t(spark, sf, "events")
     return (
         e.groupBy(
@@ -754,13 +755,7 @@ def streaming_geofence_alerts(spark: SparkSession, sf: str) -> DataFrame:
     from mvtspark.streaming import file_pings_stream, stream_geofence_transitions
 
     base = tempfile.mkdtemp(prefix="mvtspark_geoq_")
-    e = _t(spark, sf, "events")
-    pings = e.select(
-        "user_id",
-        "ts",
-        ((F.col("event_id") % 3600) / 10.0 - 179.947).alias("lng"),
-        (((F.col("event_id") * 7) % 1600) / 10.0 - 79.947).alias("lat"),
-    )
+    pings = _event_points(spark, sf, extra=("user_id", "ts")).drop("event_id")
     pings.where(F.col("user_id") < 25).coalesce(1).write.mode("append").parquet(
         base + "/in"
     )
@@ -778,7 +773,9 @@ def streaming_geofence_alerts(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 600s")
     return spark.table(name).select("user_id", "ts_us", "fence_id", "entered")
 
 
@@ -1748,7 +1745,9 @@ def streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 600s")
     return (
         spark.table(name)
         .groupBy("zoom", "x", "y")
@@ -1814,7 +1813,9 @@ def streaming_tile_counts(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 600s")
     return spark.table(name).select(
         F.unix_micros("window_start").alias("window_start_us"),
         F.unix_micros("window_end").alias("window_end_us"),
@@ -2436,11 +2437,15 @@ def oracle_sql() -> dict[str, str]:
                      FROM (SELECT poly_id, q,
                              unnest(generate_series(r_lo, r_hi)) AS r
                            FROM cq)),
+            pnv AS (SELECT poly_id, MAX(idx) + 1 AS n
+                    FROM verts GROUP BY 1),
             pedges AS (SELECT v1.poly_id, v1.x AS x1, v1.y AS y1,
                              v2.x AS x2, v2.y AS y2
-                      FROM verts v1 JOIN verts v2
+                      FROM verts v1
+                      JOIN pnv ON v1.poly_id = pnv.poly_id
+                      JOIN verts v2
                         ON v1.poly_id = v2.poly_id
-                       AND v2.idx = (v1.idx + 1) % 6),
+                       AND v2.idx = (v1.idx + 1) % pnv.n),
             pmc AS (SELECT c.poly_id, c.q, c.r,
                      MIN((e.x2 - e.x1) * (c.cy - e.y1)
                          - (e.y2 - e.y1) * (c.cx - e.x1)) AS m
@@ -2895,7 +2900,7 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (SELECT user_id, epoch_us(ts) AS us FROM events),
             b AS (SELECT user_id, us,
                     CASE WHEN LAG(us) OVER w IS NULL
-                           OR us - LAG(us) OVER w >= 1800000000
+                           OR us - LAG(us) OVER w > 1800000000
                          THEN 1 ELSE 0 END AS brk
                   FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us)),
             -- default RANGE frame: timestamp-tied rows share one sid

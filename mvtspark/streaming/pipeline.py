@@ -201,6 +201,11 @@ def stream_geofence_transitions(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     n_f = len(fences)
+    sizes = {len(edges) for _, edges in fences}
+    if len(sizes) != 1:
+        # the (N, n_f, n_edges) reshape below would silently slice one
+        # fence's edges into another's per-fence min
+        raise ValueError(f"all fences must have equal edge counts, got {sizes}")
     flat = [e for _, edges in sorted(fences) for e in edges]
     ex1 = np.array([e[0] for e in flat])
     ey1 = np.array([e[1] for e in flat])
@@ -216,7 +221,10 @@ def stream_geofence_transitions(
                 {"user_id": [], "ts_us": [], "fence_id": [], "entered": []}
             )
             return
-        pdf = pdf.sort_values("ts")
+        # stable sort with a full tiebreak: equal-timestamp pings get a
+        # deterministic order (and the contract input has unique
+        # (user, ts), where the oracle's lag-by-ts replay is exact)
+        pdf = pdf.sort_values(["ts", "lng", "lat"], kind="mergesort")
         px = pdf["lng"].to_numpy()
         py = pdf["lat"].to_numpy()
         ts_us = (pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
