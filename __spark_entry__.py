@@ -2109,7 +2109,32 @@ def offset_convex_polygons(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is intentional: driver correctness sampling is
+    # time-budgeted and walks dict order, so queries whose latest
+    # driver verdict is stale (r1 hash-fails since fixed) or that
+    # have never been sampled come first.
     return {
+        "range_join_px": range_join_px,
+        "tile_pyramid_rollup": tile_pyramid_rollup,
+        "xyz_cell_keys": xyz_cell_keys,
+        "audio_window_features": audio_window_features,
+        "embedding_rh_lsh": embedding_rh_lsh,
+        "mvt_typed_props_roundtrip": mvt_typed_props_roundtrip,
+        "s2_cell_goldens": s2_cell_goldens,
+        "invalid_tile_suite": invalid_tile_suite,
+        "layers_index_scan": layers_index_scan,
+        "dedup_groups": dedup_groups,
+        "stratified_sample_split": stratified_sample_split,
+        "repetition_quality": repetition_quality,
+        "image_phash_pairs": image_phash_pairs,
+        "hex_cell_keys": hex_cell_keys,
+        "hex_kring_counts": hex_kring_counts,
+        "rasterize_tile_grid": rasterize_tile_grid,
+        "vectorize_grid_rects": vectorize_grid_rects,
+        "simplify_lines_dp": simplify_lines_dp,
+        "offset_convex_polygons": offset_convex_polygons,
+        "streaming_tile_counts": streaming_tile_counts,
+        "streaming_stateful_totals": streaming_stateful_totals,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
@@ -2161,12 +2186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": minhash_lsh,
         "simhash_pairs": simhash_pairs,
         "embedding_cosine_pairs": embedding_cosine_pairs,
-        "embedding_rh_lsh": embedding_rh_lsh,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
         "geojson_points": geojson_points,
         "polygon_area_orientation": polygon_area_orientation,
-        "range_join_px": range_join_px,
         "asof_join_clicks": asof_join_clicks,
         "zigzag_varint_sql": zigzag_varint_sql,
         "validate_tiles_corpus": validate_tiles_corpus,
@@ -2174,28 +2197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_roundtrip_lines": mvt_roundtrip_lines,
         "mvt_roundtrip_polys": mvt_roundtrip_polys,
         "tile_parity_diff": tile_parity_diff,
-        "tile_pyramid_rollup": tile_pyramid_rollup,
-        "xyz_cell_keys": xyz_cell_keys,
         "mvt_clip_roundtrip": mvt_clip_roundtrip,
-        "mvt_typed_props_roundtrip": mvt_typed_props_roundtrip,
-        "s2_cell_goldens": s2_cell_goldens,
-        "invalid_tile_suite": invalid_tile_suite,
-        "layers_index_scan": layers_index_scan,
-        "streaming_tile_counts": streaming_tile_counts,
-        "dedup_groups": dedup_groups,
-        "stratified_sample_split": stratified_sample_split,
-        "streaming_stateful_totals": streaming_stateful_totals,
-        "repetition_quality": repetition_quality,
-        "image_phash_pairs": image_phash_pairs,
         "frame_sample": frame_sample,
         "thumbnail_resize": thumbnail_resize,
-        "audio_window_features": audio_window_features,
-        "hex_cell_keys": hex_cell_keys,
-        "hex_kring_counts": hex_kring_counts,
-        "rasterize_tile_grid": rasterize_tile_grid,
-        "vectorize_grid_rects": vectorize_grid_rects,
-        "simplify_lines_dp": simplify_lines_dp,
-        "offset_convex_polygons": offset_convex_polygons,
     }
 
 

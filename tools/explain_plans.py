@@ -130,6 +130,48 @@ AUDITS = {
 }
 
 
+PLANS_PATH = "/root/repo/PLANS.md"
+
+HEADER = (
+    "# PLANS — physical-plan audit of headline queries\n\n"
+    "Generated by `python tools/explain_plans.py` at sf0.01, "
+    "local[8], AQE on. Each section lists the scale assertions "
+    "checked for that plan, then the `explain(\"formatted\")` "
+    "output. Plans whose assertion needs runtime evidence (e.g. "
+    "WholeStageCodegen spans, which AQE only annotates in the "
+    "final plan) are executed once so the same QueryExecution "
+    "finalizes (isFinalPlan=true) before capture. Partial runs "
+    "(`python tools/explain_plans.py q1 q2`) merge into the "
+    "existing file by section title — they never drop other "
+    "sections.\n"
+)
+
+
+def read_existing_sections() -> dict:
+    """Parse PLANS.md into {section_title: body} so a partial run can
+    merge instead of clobbering (the round-2 regression: each
+    single-query regeneration overwrote the whole 46-section audit)."""
+    try:
+        with open(PLANS_PATH) as f:
+            text = f.read()
+    except FileNotFoundError:
+        return {}
+    sections = {}
+    name = None
+    buf = []
+    for line in text.splitlines():
+        if line.startswith("## "):
+            if name is not None:
+                sections[name] = "\n".join(buf).strip()
+            name = line[3:].strip()
+            buf = []
+        elif name is not None:
+            buf.append(line)
+    if name is not None:
+        sections[name] = "\n".join(buf).strip()
+    return sections
+
+
 def main() -> None:
     only = set(sys.argv[1:])
     import __spark_entry__ as entry
@@ -172,23 +214,23 @@ def main() -> None:
         sections.append((name, checks, plan))
         print(f"{name}: " + "; ".join(checks))
 
-    with open("/root/repo/PLANS.md", "w") as f:
-        f.write(
-            "# PLANS — physical-plan audit of headline queries\n\n"
-            "Generated by `python tools/explain_plans.py` at sf0.01, "
-            "local[8], AQE on. Each section lists the scale assertions "
-            "checked for that plan, then the `explain(\"formatted\")` "
-            "output. Plans whose assertion needs runtime evidence (e.g. "
-            "WholeStageCodegen spans, which AQE only annotates in the "
-            "final plan) are executed once so the same QueryExecution "
-            "finalizes (isFinalPlan=true) before capture.\n"
-        )
-        for name, checks, plan in sections:
-            f.write(f"\n## {name}\n\n")
-            for c in checks:
-                f.write(f"- {c}\n")
-            f.write("\n```\n" + plan.strip() + "\n```\n")
-    print("\nwrote PLANS.md;", ("PROBLEMS: " + "; ".join(problems)) if problems else "all audits pass")
+    merged = read_existing_sections()
+    for name, checks, plan in sections:
+        body = "\n".join(f"- {c}" for c in checks)
+        merged[name] = body + "\n\n```\n" + plan.strip() + "\n```"
+
+    # Stable order: AUDITS declaration order first, then any extras
+    # (explicitly-requested non-AUDITS queries) alphabetically.
+    order = {n: i for i, n in enumerate(AUDITS)}
+    titles = sorted(merged, key=lambda n: (order.get(n, len(order)), n))
+    with open(PLANS_PATH, "w") as f:
+        f.write(HEADER)
+        for name in titles:
+            f.write(f"\n## {name}\n\n{merged[name]}\n")
+    print(
+        f"\nwrote PLANS.md ({len(titles)} sections);",
+        ("PROBLEMS: " + "; ".join(problems)) if problems else "all audits pass",
+    )
 
 
 if __name__ == "__main__":
