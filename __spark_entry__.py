@@ -1865,20 +1865,27 @@ def invalid_tile_suite(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------- multimodal ops
 
 def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Video frame-sampling operator (stubbed codec, REAL Spark plumbing
-    — schema/batching/UDF signature), ORACLED: the deterministic fake
-    frame hash is md5-low-64(video_id:idx) & (2^63-1), recomputable in
-    DuckDB, so sampling cadence and hashes are both checked."""
-    from mvtspark.operators.multimodal import frame_sample_stub
+    """Video frame-stride sampling with a REAL codec (MRV container,
+    kernels/video.py — length-indexed zlib keyframe+delta planes; the
+    round-1/2 stub is gone). 64 synthetic 8x6 clips of 50..249 frames,
+    key_int=4, sampled every 30th frame; the operator decodes actual
+    pixels via index seeks. ORACLED end-to-end: DuckDB regenerates each
+    sampled frame from the closed-form synthesis ((x*3+y*7+c*11+f*13+
+    seed) mod 256) and recomputes BOTH the exact pixel sum and the
+    md5-low-64 hash of the canonical csv serialization — so container
+    parse, keyframe/delta reconstruction, and sampling cadence are all
+    value-checked against decoded pixels (lossless: any codec bit-slip
+    flips the hash).
 
-    d = _t(spark, sf, "documents")
-    videos = d.select(
-        F.concat(F.lit("vid"), F.col("doc_id")).alias("video_id"),
-        F.lit(None).cast("binary").alias("bytes"),
-        F.lit("fake").alias("fmt"),
-        (F.lit(50) + F.col("doc_id") % 200).cast("int").alias("n_frames"),
-    )
-    return frame_sample_stub(videos, every_n=30)
+    Parity scope vs reference: vector-tile-cs has no video surface;
+    this is the training-pipeline multimodal extension (BASELINE.json
+    input_hint: binary payload columns + vectorized UDFs, per-row
+    invariant = decoded-pixel equality for lossless)."""
+    from mvtspark.operators.multimodal import frame_sample_clips
+    from mvtspark.sources.videos import synth_videos
+
+    videos = synth_videos(spark, 64, w=8, h=6, key_int=4)
+    return frame_sample_clips(videos, every_n=30)
 
 
 def thumbnail_resize(spark: SparkSession, sf: str) -> DataFrame:
@@ -3739,15 +3746,23 @@ def oracle_sql() -> dict[str, str]:
             FROM z
         """,
         "frame_sample": f"""
-            WITH v AS (SELECT 'vid' || CAST(doc_id AS VARCHAR) AS video_id,
-                50 + doc_id % 200 AS n_frames FROM documents),
-            f AS (SELECT video_id,
-                unnest(range(0, n_frames, 30)) AS frame_idx FROM v)
-            SELECT video_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-              CAST(md5_number_upper(video_id || ':'
-                   || CAST(frame_idx AS VARCHAR)) % {i64max1} AS BIGINT)
-                AS frame_hash
-            FROM f
+            WITH v AS (SELECT i AS vid, 'vid' || CAST(i AS VARCHAR) AS video_id,
+                50 + i % 200 AS n_frames, i % 251 AS seed
+                FROM range(0, 64) t(i)),
+            f AS (SELECT video_id, seed,
+                unnest(range(0, n_frames, 30)) AS fi FROM v),
+            px AS (SELECT video_id, fi, i,
+                (((i % 24) // 3) * 3 + (i // 24) * 7 + (i % 3) * 11
+                  + fi * 13 + seed) % 256 AS val
+                FROM f, range(0, 144) t(i)),
+            agg AS (SELECT video_id, fi,
+                CAST(SUM(val) AS BIGINT) AS pixel_sum,
+                string_agg(CAST(val AS VARCHAR), ',' ORDER BY i) AS csv
+                FROM px GROUP BY 1, 2)
+            SELECT video_id, CAST(fi AS INTEGER) AS frame_idx,
+              CAST(md5_number_upper(csv) % {i64max1} AS BIGINT) AS frame_hash,
+              pixel_sum, 144 AS n_px
+            FROM agg
         """,
         "thumbnail_resize": """
             SELECT printf('img%012d', i) AS image_id,

@@ -111,48 +111,68 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
-def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling operator — full Spark plumbing with a stubbed
-    codec (no video libs in this container).
+def frame_sample_clips(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-stride sampling over REAL decoded pixels — the MRV
+    codec (kernels/video.py) replaced the round-1/2 stub.
 
     Input:  (video_id string, bytes binary, fmt string, n_frames int)
-    Output: one row per sampled frame index with a deterministic fake
-    frame hash standing in for decoded bytes (swap `_fake_frame` for a
-    real decoder on a cluster image with ffmpeg/pyav).
+    Output: one row per sampled frame with
+      - frame_hash: md5-low-64 LE of the decoded pixels' canonical csv
+        serialization ("p0,p1,..." C-order decimals), masked to int64 —
+        the same md5 convention DuckDB's md5_number_upper recomputes
+      - pixel_sum: exact integer sum of decoded uint8 pixels
+      - n_px: decoded byte count (w*h*3)
+
+    The stride sampler inflates only the payloads each sampled frame
+    needs (nearest keyframe + deltas, via the container's length
+    index): decode cost is O(frames_sampled * key_int) per clip,
+    independent of clip length — at 10^12 scale you never pay for the
+    frames you skip. Per-row loop is per CLIP; the per-pixel work is
+    vectorized numpy inside the codec.
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from mvtspark.kernels.video import decode_mrv_frames, mrv_info
+
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                for fi in range(0, int(row.n_frames), every_n):
+                data = bytes(row.bytes)
+                _, _, n_frames, _ = mrv_info(data)
+                idx = list(range(0, n_frames, every_n))
+                for fi, frame in zip(idx, decode_mrv_frames(data, idx)):
+                    flat = frame.reshape(-1)
+                    csv = ",".join(map(str, flat.tolist()))
+                    h = int.from_bytes(
+                        hashlib.md5(csv.encode()).digest()[:8], "little"
+                    )
                     out.append(
                         dict(
                             video_id=row.video_id,
                             frame_idx=fi,
-                            frame_hash=_fake_frame(row.video_id, fi),
+                            frame_hash=h & 0x7FFFFFFFFFFFFFFF,
+                            pixel_sum=int(flat.sum(dtype=np.int64)),
+                            n_px=int(flat.size),
                         )
                     )
             yield pd.DataFrame(
-                out, columns=["video_id", "frame_idx", "frame_hash"]
+                out,
+                columns=[
+                    "video_id", "frame_idx", "frame_hash", "pixel_sum", "n_px",
+                ],
             )
 
     return videos.mapInPandas(
-        _sample, schema="video_id string, frame_idx int, frame_hash long"
+        _sample,
+        schema=(
+            "video_id string, frame_idx int, frame_hash long, "
+            "pixel_sum long, n_px int"
+        ),
     )
-
-
-def _fake_frame(video_id: str, frame_idx: int) -> int:
-    """Deterministic fake frame id: md5-low-64 little-endian (DuckDB
-    ``md5_number_upper``), masked to non-negative int64. Deliberately NOT
-    the dedup polynomial hash — this is a stub-codec constant at a few
-    rows per video, not a throughput path, and the oracle pins md5."""
-    import hashlib
-
-    h = int.from_bytes(
-        hashlib.md5(f"{video_id}:{frame_idx}".encode()).digest()[:8], "little"
-    )
-    return h & 0x7FFFFFFFFFFFFFFF
 
 
 def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:
