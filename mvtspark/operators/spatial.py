@@ -259,15 +259,47 @@ def knn_ring_join(
 
 @F.pandas_udf(ArrayType(LongType()))
 def _ring_cells_udf(c: pd.Series, r: pd.Series) -> pd.Series:
+    """Whole-batch vectorized (no per-row Python — this sits in the
+    fact-side hot path of the kNN join, 10^12 rows at target scale):
+
+    - fast path: when every row's grid has 2^zoom >= 2r+1, antimeridian
+      x-wrap cannot alias two ring offsets onto one cell, so dedup is
+      skipped outright (true for any real zoom; only toy grids alias)
+    - alias path: one np.sort along the row axis + a shifted equality
+      mask blanks duplicates to -1
+    - -1 sentinels (y off-grid / dup blanks) drop via one boolean mask;
+      the ragged result ships as an Arrow ListArray built from offsets
+      (cumsum of per-row keep counts) — no per-row list objects at all.
+
+    In-batch dedup (vs dropDuplicates downstream) still saves a shuffle
+    of the exploded candidate set; ring order within a row is join-
+    irrelevant (it feeds explode + equi-join)."""
     import numpy as np
+    import pyarrow as pa
 
-    from mvtspark.kernels.cells import xyz_ring
+    from mvtspark.kernels.cells import xyz_cell_decode, xyz_ring
 
-    arr = xyz_ring(c.to_numpy(), int(r.iloc[0]))
-    # unique per row: the antimeridian wrap can alias cells at low zooms,
-    # and deduping here (cheap, in-batch) saves a dropDuplicates shuffle
-    # on the exploded candidate set downstream
-    return pd.Series([np.unique(row[row >= 0]) for row in arr])
+    radius = int(r.iloc[0])
+    cells = c.to_numpy()
+    arr = xyz_ring(cells, radius)
+    n, m = arr.shape
+    side = 2 * radius + 1
+    zoom, _, _ = xyz_cell_decode(cells)
+    if not bool(((np.int64(1) << zoom.astype(np.int64)) >= side).all()):
+        arr = np.sort(arr, axis=1)  # dups adjacent, -1 sentinels first
+        arr[:, 1:][arr[:, 1:] == arr[:, :-1]] = -1
+    keep = arr >= 0
+    if keep.all():
+        flat = arr.ravel()
+        offsets = np.arange(0, (n + 1) * m, m, dtype=np.int64)
+    else:
+        flat = arr[keep]  # row-major: preserves per-row grouping
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(keep.sum(axis=1), out=offsets[1:])
+    la = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int64())
+    )
+    return pd.Series(la, dtype=pd.ArrowDtype(pa.list_(pa.int64())))
 
 
 def _ring_cells(cell: Column, radius: int) -> Column:
