@@ -321,9 +321,16 @@ def haversine_nearest_site(spark: SparkSession, sf: str) -> DataFrame:
         ((F.col("n_nationkey") * 37 % 160) - 79.5).cast("double").alias("slat"),
         ((F.col("n_nationkey") * 73 % 360) - 179.5).cast("double").alias("slng"),
     )
+    # round to the 4-decimal contract resolution BEFORE the argmin:
+    # two sites an ulp apart in raw libm trig could argmin differently
+    # in Spark vs DuckDB — rounding first makes ties break on identical
+    # operands (then site_id) in both engines
     d = pts.join(F.broadcast(sites)).withColumn(
         "km",
-        haversine_km(F.col("lat"), F.col("lng"), F.col("slat"), F.col("slng")),
+        F.round(
+            haversine_km(F.col("lat"), F.col("lng"), F.col("slat"), F.col("slng")),
+            4,
+        ),
     )
     # argmin as min(struct(km, site_id)) — unlike a window top-1, the
     # 25x-exploded rows collapse in the MAP-SIDE partial aggregate, so
@@ -334,7 +341,7 @@ def haversine_nearest_site(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "event_id",
             F.col("m.site_id").alias("site_id"),
-            F.round("m.km", 4).alias("km"),
+            F.col("m.km").alias("km"),
         )
     )
 
@@ -2702,8 +2709,8 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": f"""
             WITH pts AS ({_EVENT_PTS}),
             q AS (SELECT event_id,
-              CAST(LEAST(FLOOR((lng + 180.0) / 360.0 * 32768.0), 32767) AS BIGINT) AS bx,
-              CAST(LEAST(FLOOR((lat + 90.0) / 180.0 * 32768.0), 32767) AS BIGINT) AS by
+              CAST(GREATEST(LEAST(FLOOR((lng + 180.0) / 360.0 * 32768.0), 32767), 0) AS BIGINT) AS bx,
+              CAST(GREATEST(LEAST(FLOOR((lat + 90.0) / 180.0 * 32768.0), 32767), 0) AS BIGINT) AS by
               FROM pts),
             -- 64-bit Morton spread chain (functions/geodesy.py masks)
             g1 AS (SELECT event_id,
@@ -2753,10 +2760,13 @@ def oracle_sql() -> dict[str, str]:
                         * sin(radians(slng - lng) / 2)
                         * sin(radians(slng - lng) / 2))) AS km
                   FROM pts, sites)
-            SELECT event_id, site_id, ROUND(km, 4) AS km FROM (
-              SELECT event_id, site_id, km,
+            -- round BEFORE the argmin (mirrors the Spark side): tie
+            -- breaks happen on identical 4-decimal operands, immune to
+            -- last-ulp libm differences between engines
+            SELECT event_id, site_id, km FROM (
+              SELECT event_id, site_id, ROUND(km, 4) AS km,
                 ROW_NUMBER() OVER (PARTITION BY event_id
-                                   ORDER BY km, site_id) AS rn
+                                   ORDER BY ROUND(km, 4), site_id) AS rn
               FROM d) WHERE rn = 1
         """,
         "bbox_overlap_pairs": """

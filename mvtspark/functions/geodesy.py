@@ -70,9 +70,15 @@ def geohash(lat: Column, lng: Column, precision: int = 8) -> Column:
     lat_bits = nbits // 2
     qlng = F.floor((lng + 180.0) / 360.0 * F.lit(float(1 << lng_bits)))
     qlat = F.floor((lat + 90.0) / 180.0 * F.lit(float(1 << lat_bits)))
-    # clamp the degenerate north/east edge (lng=180 or lat=90)
-    qlng = F.least(qlng, F.lit((1 << lng_bits) - 1)).cast("long")
-    qlat = F.least(qlat, F.lit((1 << lat_bits) - 1)).cast("long")
+    # clamp BOTH edges: the north/east degenerate edge (lng=180, lat=90)
+    # high-clamps, and out-of-range inputs (lng<-180, lat<-90) would
+    # otherwise quantize negative and corrupt the Morton spread
+    qlng = F.greatest(
+        F.least(qlng, F.lit((1 << lng_bits) - 1)), F.lit(0)
+    ).cast("long")
+    qlat = F.greatest(
+        F.least(qlat, F.lit((1 << lat_bits) - 1)), F.lit(0)
+    ).cast("long")
     if lng_bits == lat_bits:
         # even total bits: MSB is a lng bit at an odd position from LSB
         z = _spread64(qlat).bitwiseOR(F.shiftleft(_spread64(qlng), 1))
@@ -104,6 +110,11 @@ def quadkey(x: Column, y: Column, zoom: int) -> Column:
     one string comparison."""
     if zoom < 1:
         raise ValueError("quadkey needs zoom >= 1")
+    # wrap into the 2^zoom grid: tile x wraps the antimeridian by
+    # definition, and masking y too keeps out-of-range inputs from
+    # emitting digits that decode to a DIFFERENT pyramid level
+    x = x.bitwiseAND(F.lit((1 << zoom) - 1))
+    y = y.bitwiseAND(F.lit((1 << zoom) - 1))
     digits = [
         F.substring(
             F.lit("0123"),

@@ -23,9 +23,13 @@ worklist is rebuilt by boolean masks. No per-feature Python loop; the
 round count is the DP recursion depth (<= log2 of the longest part for
 balanced splits, <= part length worst case), not the feature count.
 
-Degenerate closed segments (A == B) fall back to splitting at any
-interior point with cross != 0 — consistent across all three
-implementations by construction.
+Domain note: this is an OPEN-POLYLINE simplifier. For a degenerate
+anchor segment (A == B, e.g. a closed ring fed end-to-end) the split
+test cross^2 > eps^2*|AB|^2 is identically 0 > 0 and never fires, so
+the part collapses to its two (identical) endpoints. All three
+implementations (engine, naive twin, SQL oracle) share that behavior
+by construction — callers simplifying rings should split them into
+open halves first (the MVT pipeline's rings never reach this API).
 """
 
 from __future__ import annotations

@@ -623,8 +623,18 @@ def _fmt_invariant(arr) -> "pd.Series":
     ``string.Format("{0}", double)`` does on modern .NET: shortest
     round-trip decimal, no fractional part for integral values
     (1.0 -> "1", -0.0 -> "-0"). Python's float repr IS shortest
-    round-trip; only the trailing ".0" differs."""
-    return pd.Series(arr).astype(str).str.replace(r"\.0$", "", regex=True)
+    round-trip; only the trailing ".0" differs.
+
+    Exponent normalization: both formatters use shortest-round-trip
+    digits and share the scientific-notation lower threshold (|v| <
+    1e-4 → e-notation, with 2-digit-minimum exponents), but Python
+    spells it '1.5e-05' where .NET spells '1.5E-05' — so the marker is
+    uppercased here (near-zero longitudes at the prime meridian DO
+    occur). Parity scope is |v| < 1e15: in the [1e15, 1e16) band .NET
+    already switches to scientific while Python is still fixed; WGS84
+    coordinates (|v| <= 180) never get near it."""
+    s = pd.Series(arr).astype(str).str.replace(r"\.0$", "", regex=True)
+    return s.str.replace("e", "E", regex=False)
 
 
 def to_geojson(features: DataFrame) -> DataFrame:

@@ -206,6 +206,10 @@ def stream_geofence_transitions(
         # the (N, n_f, n_edges) reshape below would silently slice one
         # fence's edges into another's per-fence min
         raise ValueError(f"all fences must have equal edge counts, got {sizes}")
+    # bit f of the inside-mask is position f in the SORTED catalog; map
+    # it back to the caller's actual fence id on emit (ids need not be
+    # the contiguous 0..n-1 the contract query happens to use)
+    fence_ids = [fid for fid, _ in sorted(fences)]
     flat = [e for _, edges in sorted(fences) for e in edges]
     ex1 = np.array([e[0] for e in flat])
     ey1 = np.array([e[1] for e in flat])
@@ -245,7 +249,7 @@ def stream_geofence_transitions(
                 if d & 1:
                     out["user_id"].append(int(key[0]))
                     out["ts_us"].append(int(ts_us[i]))
-                    out["fence_id"].append(f)
+                    out["fence_id"].append(int(fence_ids[f]))
                     out["entered"].append(bool((m >> f) & 1))
                 d >>= 1
                 f += 1

@@ -109,3 +109,33 @@ def test_quadkey_bing_vector_and_prefix(spark):
     for r in rows:
         assert r.qk3.startswith(r.qk2)
         assert len(r.qk3) == 3 and set(r.qk3) <= set("0123")
+
+
+def test_geohash_clamps_out_of_range_low_side(spark):
+    """lng < -180 / lat < -90 clamp to the SW corner cell instead of
+    quantizing negative and corrupting the Morton spread."""
+    from pyspark.sql import functions as F
+
+    from mvtspark.functions.geodesy import geohash
+
+    df = spark.createDataFrame(
+        [(-999.0, -999.0), (-180.0, -90.0), (200.0, 95.0), (180.0, 90.0)],
+        "lng double, lat double",
+    ).select(geohash(F.col("lat"), F.col("lng"), 6).alias("g"))
+    a, b, c, d = [r.g for r in df.collect()]
+    assert a == b  # low clamp == exact SW corner
+    assert c == d  # high clamp == exact NE corner
+    assert a == "000000"
+
+
+def test_quadkey_wraps_out_of_grid_xy(spark):
+    from pyspark.sql import functions as F
+
+    from mvtspark.functions.geodesy import quadkey
+
+    df = spark.createDataFrame(
+        [(5, 3), (5 + 8, 3 + 8), (-3, 3)], "x long, y long"
+    ).select(quadkey(F.col("x"), F.col("y"), 3).alias("q"))
+    a, b, c = [r.q for r in df.collect()]
+    assert a == b  # x,y wrap mod 2^zoom
+    assert len(c) == 3 and set(c) <= set("0123")

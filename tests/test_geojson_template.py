@@ -145,3 +145,15 @@ def test_property_strings_are_json_escaped(spark):
     props = parsed["features"][0]["properties"]
     assert props["lyr"] == 'we"ird\\lyr'
     assert props['k"1'] == 'say "hi"\n'
+
+
+def test_fmt_invariant_dotnet_exponent_convention():
+    """Near-zero doubles format with .NET's uppercase exponent marker
+    (both formatters share shortest-round-trip digits and the 1e-4
+    e-notation threshold; only the spelling differed)."""
+    from mvtspark.sources.tiles import _fmt_invariant
+
+    vals = [1.5e-05, -2.5e-07, 0.0001, 0.0, -0.0, 1.0, -12.5, 179.999999]
+    got = list(_fmt_invariant(vals))
+    assert got == ["1.5E-05", "-2.5E-07", "0.0001", "0", "-0", "1", "-12.5",
+                   "179.999999"]

@@ -227,3 +227,44 @@ def test_geofence_transitions_state_spans_batches(spark, tmp_path):
     rows = sorted(spark.table(name).collect(), key=lambda r: r.ts_us)
     assert [(r.fence_id, r.entered) for r in rows] == [(0, True), (0, False)]
     assert rows[0].user_id == 7
+
+
+def test_geofence_emits_catalog_fence_ids_not_bit_positions(spark, tmp_path):
+    """A fence catalog with NON-contiguous ids (3, 7) must emit those
+    ids in alerts, not the 0/1 bit positions of the sorted catalog."""
+    import datetime as dt
+    import uuid
+
+    from mvtspark.operators.geofence import hex_fences
+    from mvtspark.streaming import file_pings_stream, stream_geofence_transitions
+
+    base_fences = hex_fences(2)
+    # relabel to sparse ids; fence "7" is the original fence 1
+    fences = [(3, base_fences[0][1]), (7, base_fences[1][1])]
+    edges = base_fences[1][1]
+    cx = sum(e[0] for e in edges) / 6
+    cy = sum(e[1] for e in edges) / 6
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (9, t0, cx + 50.0, cy),                       # outside all
+        (9, t0 + dt.timedelta(minutes=1), cx, cy),     # enters fence "7"
+        (9, t0 + dt.timedelta(minutes=2), cx + 50.0, cy),  # exits
+    ]
+    base = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, lng double, lat double"
+    ).coalesce(1).write.mode("append").parquet(base)
+
+    stream = file_pings_stream(spark, base)
+    name = "geoid_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_geofence_transitions(stream, fences)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(spark.table(name).collect(), key=lambda r: r.ts_us)
+    assert [(r.fence_id, r.entered) for r in got] == [(7, True), (7, False)]
