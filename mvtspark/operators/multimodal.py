@@ -273,6 +273,37 @@ def phash_near_dup_pairs(
     )
 
 
+def _stacked_groups(pdf: pd.DataFrame):
+    """Yield (row_positions, (n, h, w, 3) uint8 stack) for each
+    (w, h, fmt) group of an Arrow batch — the VERDICT-r2 batching: all
+    same-shaped images decode and compute as ONE 4-D numpy array
+    instead of a per-image Python loop.
+
+    'raw' groups decode with a single frombuffer+reshape over the
+    concatenated payloads; compressed formats still inflate per blob
+    (zlib is per-payload by nature) but everything downstream of decode
+    is stack-at-once. Group keying is pandas groupby (vectorized) —
+    the only remaining per-image Python is the unavoidable per-blob
+    inflate for PNG."""
+    import numpy as np
+
+    from mvtspark.kernels.image import decode_image
+
+    for (w, h, fmt), poss in pdf.groupby(["w", "h", "fmt"]).indices.items():
+        w, h = int(w), int(h)
+        blobs = pdf["bytes"].iloc[poss]
+        if fmt == "raw":
+            buf = b"".join(bytes(b) for b in blobs)
+            stack = np.frombuffer(buf, dtype=np.uint8).reshape(
+                len(poss), h, w, 3
+            )
+        else:
+            stack = np.stack(
+                [decode_image(bytes(b), w, h, fmt) for b in blobs]
+            )
+        yield np.asarray(poss), stack
+
+
 CHANNEL_SUMS_SCHEMA = (
     "image_id string, n_px long, sum_r long, sum_g long, sum_b long"
 )
@@ -292,24 +323,24 @@ def channel_sums(images: DataFrame) -> DataFrame:
     def _sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from mvtspark.kernels.image import decode_image
-
         for pdf in batches:
-            out = {
-                "image_id": [], "n_px": [],
-                "sum_r": [], "sum_g": [], "sum_b": [],
-            }
-            for row in pdf.itertuples(index=False):
-                img = decode_image(
-                    bytes(row.bytes), int(row.w), int(row.h), row.fmt
-                )
-                a = img.astype(np.int64)
-                out["image_id"].append(row.image_id)
-                out["n_px"].append(int(row.w) * int(row.h))
-                out["sum_r"].append(int(a[:, :, 0].sum()))
-                out["sum_g"].append(int(a[:, :, 1].sum()))
-                out["sum_b"].append(int(a[:, :, 2].sum()))
-            yield pd.DataFrame(out)
+            n = len(pdf)
+            sums = np.zeros((n, 3), dtype=np.int64)
+            npx = np.zeros(n, dtype=np.int64)
+            # one stacked reduction per (w, h, fmt) group — int64-exact,
+            # so summation-order freedom costs nothing vs the goldens
+            for poss, stack in _stacked_groups(pdf):
+                sums[poss] = stack.sum(axis=(1, 2), dtype=np.int64)
+                npx[poss] = stack.shape[1] * stack.shape[2]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "n_px": npx,
+                    "sum_r": sums[:, 0],
+                    "sum_g": sums[:, 1],
+                    "sum_b": sums[:, 2],
+                }
+            )
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         _sums, CHANNEL_SUMS_SCHEMA
@@ -334,38 +365,43 @@ def flip_rot_invariants(images: DataFrame) -> DataFrame:
     def _aug(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from mvtspark.kernels.image import decode_image
-
         for pdf in batches:
-            out = {k: [] for k in (
-                "image_id", "n_px", "sum_r", "sum_g", "sum_b",
-                "flip2_identity", "rot4_identity", "corner_moved",
-            )}
-            for row in pdf.itertuples(index=False):
-                img = decode_image(
-                    bytes(row.bytes), int(row.w), int(row.h), row.fmt
+            n = len(pdf)
+            sums = np.zeros((n, 3), dtype=np.int64)
+            npx = np.zeros(n, dtype=np.int64)
+            flip2 = np.zeros(n, dtype=bool)
+            rot4 = np.zeros(n, dtype=bool)
+            moved = np.zeros(n, dtype=bool)
+            # whole-group 4-D ops: flip/rot are stack slices, identities
+            # are per-image all() reductions, sums are int64-exact
+            for poss, stack in _stacked_groups(pdf):
+                flipped = stack[:, :, ::-1, :]
+                rot = np.rot90(stack, k=1, axes=(1, 2))
+                sums[poss] = flipped.sum(axis=(1, 2), dtype=np.int64)
+                npx[poss] = stack.shape[1] * stack.shape[2]
+                flip2[poss] = (flipped[:, :, ::-1, :] == stack).all(
+                    axis=(1, 2, 3)
                 )
-                flipped = img[:, ::-1, :]
-                rot = np.rot90(img, k=1, axes=(0, 1))
-                a = flipped.astype(np.int64)  # sums from the AUGMENTED image
-                out["image_id"].append(row.image_id)
-                out["n_px"].append(int(row.w) * int(row.h))
-                out["sum_r"].append(int(a[:, :, 0].sum()))
-                out["sum_g"].append(int(a[:, :, 1].sum()))
-                out["sum_b"].append(int(a[:, :, 2].sum()))
-                out["flip2_identity"].append(
-                    bool(np.array_equal(flipped[:, ::-1, :], img))
-                )
-                out["rot4_identity"].append(
-                    bool(np.array_equal(np.rot90(rot, k=3, axes=(0, 1)), img))
-                )
-                out["corner_moved"].append(
-                    bool(
-                        not np.array_equal(img[0, 0], img[0, -1])
-                        and np.array_equal(flipped[0, 0], img[0, -1])
-                    )
-                )
-            yield pd.DataFrame(out)
+                rot4[poss] = (
+                    np.rot90(rot, k=3, axes=(1, 2)) == stack
+                ).all(axis=(1, 2, 3))
+                c00 = stack[:, 0, 0, :]
+                c0w = stack[:, 0, -1, :]
+                moved[poss] = (~(c00 == c0w).all(axis=1)) & (
+                    flipped[:, 0, 0, :] == c0w
+                ).all(axis=1)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "n_px": npx,
+                    "sum_r": sums[:, 0],
+                    "sum_g": sums[:, 1],
+                    "sum_b": sums[:, 2],
+                    "flip2_identity": flip2,
+                    "rot4_identity": rot4,
+                    "corner_moved": moved,
+                }
+            )
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         _aug, FLIPROT_SCHEMA
