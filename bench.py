@@ -222,6 +222,137 @@ def mvt_decode_ref_job(spark, n_tiles: int = 210, fpt: int = 1200, nv: int = 20)
     return n_tiles, nfeat, nfeat * nv
 
 
+# Realistic z14 layer/feature mix (OSM-ish density): per tile,
+# (layer, features, vertices-per-feature before ring close, geom_type).
+# 1,198 features/tile over the reference Bench's exact 14x15 grid.
+REFMIX_SPECS = [
+    ("water", 8, 32, 3),
+    ("landuse", 40, 8, 3),
+    ("roads", 380, 14, 2),
+    ("buildings", 650, 4, 3),
+    ("poi", 120, 1, 1),
+]
+
+
+def _refmix_corpus(spark):
+    """Build (once, cached) the 210-tile multi-layer corpus in the exact
+    src/Bench/Program.cs:23-63 grid shape: z14, cols 4680-4693 x rows
+    6260-6274, five layers of mixed geometry encoded with the repo's own
+    encoder, then per-tile protobuf-concatenated (layer is a repeated
+    field, so concatenating single-layer tile messages IS the
+    multi-layer tile — spot-checked by goldens in
+    tests/test_refmix_corpus.py)."""
+    from pyspark.sql import functions as F
+
+    from mvtspark.sources.tiles import encode_tiles
+
+    tiles = _REF_TILES_CACHE.get("mix")
+    if tiles is not None:
+        return tiles
+
+    per_layer = []
+    for ordi, (lyr, fpt, nv, gt) in enumerate(REFMIX_SPECS):
+        ids = spark.range(0, 210 * fpt, numPartitions=32)
+        t = (F.col("id") / fpt).cast("long")
+        salt = ordi * 7919
+        vseq = F.sequence(F.lit(0), F.lit(nv - 1))
+        xs = F.transform(vseq, lambda v: (F.col("id") * 31 + v * 977 + salt) % 4096)
+        ys = F.transform(vseq, lambda v: (F.col("id") * 57 + v * 677 + salt) % 4096)
+        if gt == 3:  # explicit ring closure (first == last)
+            xs = F.concat(xs, F.array(F.element_at(xs, 1)))
+            ys = F.concat(ys, F.array(F.element_at(ys, 1)))
+            n_out = nv + 1
+        else:
+            n_out = nv
+        props = {
+            "water": F.struct(F.lit("lake").alias("class")),
+            "landuse": F.struct(
+                F.element_at(
+                    F.array(*[F.lit(s) for s in
+                              ("park", "farm", "forest", "industrial")]),
+                    (F.col("id") % 4 + 1).cast("int"),
+                ).alias("class")
+            ),
+            "roads": F.struct(
+                F.element_at(
+                    F.array(*[F.lit(s) for s in
+                              ("motorway", "trunk", "primary", "secondary",
+                               "tertiary", "residential", "service", "path")]),
+                    (F.col("id") % 8 + 1).cast("int"),
+                ).alias("class"),
+                (F.col("id") % 2).cast("int").alias("oneway"),
+            ),
+            "buildings": F.struct((F.lit(3) + F.col("id") % 60).alias("height")),
+            "poi": F.struct(
+                F.concat(F.lit("poi"), (F.col("id") % 1000)).alias("name"),
+                F.element_at(
+                    F.array(*[F.lit(s) for s in
+                              ("cafe", "shop", "bank", "school", "fuel",
+                               "pharmacy")]),
+                    (F.col("id") % 6 + 1).cast("int"),
+                ).alias("kind"),
+            ),
+        }[lyr]
+        feats = ids.select(
+            F.lit(14).alias("zoom"),
+            (F.lit(4680) + t % 14).cast("int").alias("x"),
+            (F.lit(6260) + (t / 14).cast("long") % 15).cast("int").alias("y"),
+            F.lit(4096).alias("extent"),
+            (F.lit(ordi * 1_000_000_000) + F.col("id") + 1).alias("feature_id"),
+            F.lit(gt).alias("geom_type"),
+            F.array(F.lit(0), F.lit(n_out)).cast("array<int>").alias("part_offsets"),
+            xs.cast("array<long>").alias("xs"),
+            ys.cast("array<long>").alias("ys"),
+            F.to_json(props).alias("props"),
+        )
+        enc = encode_tiles(feats, layer_name=lyr).select(
+            "zoom", "x", "y", F.lit(ordi).alias("ord"), "mvt"
+        )
+        per_layer.append(enc)
+
+    allx = per_layer[0]
+    for d in per_layer[1:]:
+        allx = allx.unionByName(d)
+
+    def _concat(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("ord")
+        return pd.DataFrame(
+            [dict(zoom=int(key[0]), x=int(key[1]), y=int(key[2]),
+                  mvt=b"".join(bytes(b) for b in pdf["mvt"]))]
+        )
+
+    tiles = (
+        allx.groupBy("zoom", "x", "y")
+        .applyInPandas(_concat, schema="zoom int, x int, y int, mvt binary")
+        .repartition(64)
+        .cache()
+    )
+    tiles.count()
+    _REF_TILES_CACHE["mix"] = tiles
+    return tiles
+
+
+def mvt_decode_refmix_job(spark):
+    """Reference-protocol decode over the REALISTIC corpus shape
+    (multi-layer, mixed geometry + props): decode every layer, feature
+    and property of all 210 tiles — the Bench/Program.cs loop,
+    distributed. Returns (n_tiles, n_features, n_vertices)."""
+    from pyspark.sql import functions as F
+
+    from mvtspark.sources.tiles import decode_tiles
+
+    tiles = _refmix_corpus(spark)
+    dec = decode_tiles(tiles)
+    nfeat = dec.where(F.col("decode_error").isNull()).count()
+    nvert = sum(
+        210 * fpt * (nv + (1 if gt == 3 else 0))
+        for _, fpt, nv, gt in REFMIX_SPECS
+    )
+    return 210, nfeat, nvert
+
+
 def mvt_codec_job(spark, points_path: str, cap: int = 300_000):
     """Encode per-tile MVT protobufs from joined points and decode them
     back (S9 + D1-D8) — the reference Bench's decode loop, distributed."""
@@ -378,6 +509,8 @@ def main() -> None:
     q["mvt_encode_decode"] = round(mv_avg, 3)
     rd_avg, _, (rt, rf, rv) = timed(lambda: mvt_decode_ref_job(spark))
     q["mvt_decode_ref"] = round(rd_avg, 3)
+    rm_avg, _, (mt, mf, mv) = timed(lambda: mvt_decode_refmix_job(spark))
+    q["mvt_decode_refmix"] = round(rm_avg, 3)
     total = round(sum(q.values()), 3)
     print(json.dumps({
         "metric": "tile-assignment + spatial-join + headline-suite elapsed",
@@ -393,6 +526,9 @@ def main() -> None:
         "ref_decode_tiles_per_sec": round(rt / rd_avg, 1),
         "ref_decode_features_per_sec": round(rf / rd_avg, 1),
         "ref_decode_vertices_per_sec": round(rv / rd_avg, 1),
+        "refmix_decode_tiles_per_sec": round(mt / rm_avg, 1),
+        "refmix_decode_features_per_sec": round(mf / rm_avg, 1),
+        "refmix_decode_vertices_per_sec": round(mv / rm_avg, 1),
         "mvt_features_decoded": n_feats,
         "mvt_features_per_sec": round(n_feats / mv_avg, 1),
     }))
