@@ -1787,6 +1787,28 @@ def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_groups_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components on a PATHOLOGICAL diameter graph — 12
+    chains of 250 nodes (event ids 0..2999, edge i→i+1 except across
+    250-boundaries) — using the large-star/small-star algorithm
+    (operators/dedup.py::_two_star_cc, Kiveris et al.): O(log n)
+    rounds where min-label propagation would need 250. ORACLED
+    closed-form: each chain's component is its 250-block, group_id =
+    the block minimum, size = 250. The round bound itself is pinned by
+    tests/test_dedup_groups.py::test_two_star_logarithmic_rounds."""
+    from mvtspark.operators.dedup import connected_components
+
+    e = _t(spark, sf, "events").where(F.col("event_id") < 3000)
+    edges = e.where((F.col("event_id") + 1) % 250 != 0).select(
+        F.col("event_id").alias("doc_a"),
+        (F.col("event_id") + 1).alias("doc_b"),
+    )
+    return connected_components(edges, algorithm="two-star").select(
+        "doc_id", "group_id",
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
 def streaming_tile_counts(spark: SparkSession, sf: str) -> DataFrame:
     """SURVEY §2.10 Structured Streaming, driver-visible and ORACLED:
     a bounded file stream (two appended micro-batch files, the second a
@@ -2138,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invalid_tile_suite": invalid_tile_suite,
         "layers_index_scan": layers_index_scan,
         "dedup_groups": dedup_groups,
+        "dedup_groups_chain": dedup_groups_chain,
         "stratified_sample_split": stratified_sample_split,
         "repetition_quality": repetition_quality,
         "image_phash_pairs": image_phash_pairs,
@@ -3475,6 +3498,12 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
                         WHEN 'de' THEN 0.25 ELSE 0.1 END
               * 4294967296 AS BIGINT)
+        """,
+        "dedup_groups_chain": """
+            SELECT CAST(event_id AS BIGINT) AS doc_id,
+              CAST((event_id // 250) * 250 AS BIGINT) AS group_id,
+              CAST(250 AS BIGINT) AS group_size
+            FROM events WHERE event_id < 3000
         """,
         "dedup_groups": f"""
             WITH RECURSIVE sh AS (

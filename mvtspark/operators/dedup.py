@@ -306,11 +306,87 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _edge_signature(e: DataFrame) -> tuple:
+    """Cheap order-insensitive fingerprint of an edge set: (count,
+    decimal-sum of xxhash64) — one pass, no sort, overflow-safe."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row.n, row.h)
+
+
+def _two_star_cc(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — O(log n) rounds even on
+    diameter-n chains, where min-label propagation needs n rounds.
+
+    large-star: per node u, every STRICTLY LARGER neighbor re-links to
+    min(Γ(u) ∪ {u}).  small-star: direct each edge large→small; per hub
+    u, all small neighbors (and u) link to the minimum.  Both are one
+    groupBy + one equi-join on the node id — the same shuffle
+    primitives as min-label, just fewer rounds.  Converged when a full
+    round leaves the edge set unchanged; the fixed point is the star
+    graph (v → component-min)."""
+    edges = e.where(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    sig = _edge_signature(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star ----
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", "a").alias("m"))
+        )
+        ls = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star ----
+        d = ls.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mins = d.groupBy("a").agg(F.min("b").alias("m"))
+        ss = (
+            d.join(mins, "a")
+            .select(F.col("b").alias("v"), "m")
+            .unionByName(mins.select(F.col("a").alias("v"), "m"))
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        ).localCheckpoint(eager=True)
+        new_sig = _edge_signature(ss)
+        edges = ss
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"two-star connected components did not converge in "
+            f"{max_iter} rounds"
+        )
+    # fixed point: edges = (node → component-min) stars; roots appear
+    # only on the b side
+    labels = edges.select(F.col("a").alias("id"), F.col("b").alias("lbl"))
+    roots = edges.select(F.col("b").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    return labels.unionByName(roots).distinct(), rounds
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 15,
+    algorithm: str = "min-label",
 ) -> DataFrame:
     """Dedup GROUPS from candidate pairs: iterative min-label
     propagation over the undirected pair graph → (doc_id, group_id)
@@ -318,6 +394,14 @@ def connected_components(
     keeper). The step every near-dup pipeline needs after pair
     generation — pairs alone over-remove (A~B, B~C must collapse to ONE
     group, not two independent drops).
+
+    ``algorithm='min-label'`` (default): one-hop min propagation —
+    rounds ≈ component diameter, right for the near-clique components
+    LSH emits (2-3 rounds).  ``algorithm='two-star'``: the
+    large-star/small-star alternation (_two_star_cc) — O(log n) rounds
+    on diameter-heavy graphs (long chains), the planet-scale choice
+    when component shape is unknown.  Both converge to the same labels
+    (group_id = component minimum).
 
     Shape per iteration: one equi-join (neighbor-min) + one left join —
     both shuffles on the node id, fully distributed; the driver only
@@ -327,6 +411,19 @@ def connected_components(
     planet-scale graphs swap in large-star/small-star — same join
     primitives, fewer rounds). Lineage is truncated each round with an
     eager localCheckpoint so the plan doesn't grow with iterations."""
+    if algorithm == "two-star":
+        labels, _ = _two_star_cc(
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b")),
+            max_iter,
+        )
+        sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("group_size"))
+        return labels.join(sizes, "lbl").select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("group_id"),
+            "group_size",
+        )
+    if algorithm != "min-label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
