@@ -1788,18 +1788,19 @@ def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dedup_groups_chain(spark: SparkSession, sf: str) -> DataFrame:
-    """Connected components on a PATHOLOGICAL diameter graph — 12
-    chains of 250 nodes (event ids 0..2999, edge i→i+1 except across
-    250-boundaries) — using the large-star/small-star algorithm
+    """Connected components on a PATHOLOGICAL diameter graph — 30
+    chains of 60 nodes (event ids 0..1799, edge i→i+1 except across
+    60-boundaries) — using the large-star/small-star algorithm
     (operators/dedup.py::_two_star_cc, Kiveris et al.): O(log n)
-    rounds where min-label propagation would need 250. ORACLED
-    closed-form: each chain's component is its 250-block, group_id =
-    the block minimum, size = 250. The round bound itself is pinned by
+    rounds (7 measured) where min-label propagation would need 60
+    (> its max_iter). ORACLED closed-form: each chain's component is
+    its 60-block, group_id = the block minimum, size = 60. The round
+    bound itself is pinned on a 1024-chain by
     tests/test_dedup_groups.py::test_two_star_logarithmic_rounds."""
     from mvtspark.operators.dedup import connected_components
 
-    e = _t(spark, sf, "events").where(F.col("event_id") < 3000)
-    edges = e.where((F.col("event_id") + 1) % 250 != 0).select(
+    e = _t(spark, sf, "events").where(F.col("event_id") < 1800)
+    edges = e.where((F.col("event_id") + 1) % 60 != 0).select(
         F.col("event_id").alias("doc_a"),
         (F.col("event_id") + 1).alias("doc_b"),
     )
@@ -3501,9 +3502,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_groups_chain": """
             SELECT CAST(event_id AS BIGINT) AS doc_id,
-              CAST((event_id // 250) * 250 AS BIGINT) AS group_id,
-              CAST(250 AS BIGINT) AS group_size
-            FROM events WHERE event_id < 3000
+              CAST((event_id // 60) * 60 AS BIGINT) AS group_id,
+              CAST(60 AS BIGINT) AS group_size
+            FROM events WHERE event_id < 1800
         """,
         "dedup_groups": f"""
             WITH RECURSIVE sh AS (
