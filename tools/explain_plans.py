@@ -125,6 +125,10 @@ AUDITS = {
     "image_fliprot_invariants": ["MapInPandas"],
     # MERGE compaction: max_by partials, never a Window sort
     "cdc_upsert_snapshot": ["partial_max_by", "Aggregate"],
+    # two-star CC fixed point: labels enter as a checkpointed RDD scan
+    # (lineage truncated per round); sizes are ONE hash agg + a final
+    # equi-join — never a per-round plan that grows with iterations
+    "dedup_groups_chain": ["Scan ExistingRDD", "HashAggregate", "HashJoin"],
     # SCD2 history: ONE lead window on the key
     "scd2_user_history": ["Window", "Sort"],
 }
