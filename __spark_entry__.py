@@ -1810,6 +1810,41 @@ def dedup_groups_chain(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def pyramid_thinned_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tile-pyramid build with per-level top-K feature thinning
+    (operators/pyramid.py::thin_pyramid) — the production tiling rule
+    that keeps low zooms bounded: each parent tile keeps its children's
+    top-20 features by (weight DESC, id), coordinates integer-halved
+    into the parent frame. Events → z6 tiles (mercator assignment),
+    then levels 6→3; output aggregates per (zoom, x, y) so the px/py
+    sums certify the coordinate transform and min/count certify the
+    ranking. Weights and pixels are synthetic integers ((id*37)%1000,
+    (id*131)%4096, (id*223)%4096) so BOTH engines rank and halve on
+    exact ints — no float discipline needed anywhere. ORACLED with
+    unrolled per-level ROW_NUMBER CTEs."""
+    from mvtspark.operators.pyramid import thin_pyramid
+    from mvtspark.operators.spatial import assign_tiles
+
+    a = assign_tiles(_event_points(spark, sf), zoom=6)
+    feats = a.select(
+        F.col("zoom").cast("int").alias("zoom"),
+        F.col("x").cast("int").alias("x"),
+        F.col("y").cast("int").alias("y"),
+        F.col("event_id").alias("feature_id"),
+        (F.col("event_id") * 37 % 1000).alias("weight"),
+        (F.col("event_id") * 131 % 4096).alias("px"),
+        (F.col("event_id") * 223 % 4096).alias("py"),
+    )
+    pyr = thin_pyramid(feats, from_zoom=6, to_zoom=3, k=20)
+    return pyr.groupBy("zoom", "x", "y").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.sum("weight").cast("long").alias("sum_weight"),
+        F.min("feature_id").alias("min_fid"),
+        F.sum("px").cast("long").alias("sum_px"),
+        F.sum("py").cast("long").alias("sum_py"),
+    )
+
+
 def streaming_tile_counts(spark: SparkSession, sf: str) -> DataFrame:
     """SURVEY §2.10 Structured Streaming, driver-visible and ORACLED:
     a bounded file stream (two appended micro-batch files, the second a
@@ -2162,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layers_index_scan": layers_index_scan,
         "dedup_groups": dedup_groups,
         "dedup_groups_chain": dedup_groups_chain,
+        "pyramid_thinned_counts": pyramid_thinned_counts,
         "stratified_sample_split": stratified_sample_split,
         "repetition_quality": repetition_quality,
         "image_phash_pairs": image_phash_pairs,
@@ -2410,6 +2446,24 @@ _CHANNEL_GOLDENS = """('img000000000000', 256, 34138, 32981, 32512),
 ('img000000000117', 1024, 129694, 128422, 133862),
 ('img000000000118', 1536, 198171, 193737, 198065),
 ('img000000000119', 2048, 262076, 259475, 263590)"""
+
+
+def _pyramid_lvl(src: str, out: str) -> str:
+    """One thin_pyramid level as CTE text: parent coords + integer
+    pixel halving + per-parent-tile top-20 by (w DESC, fid) — the SQL
+    twin of operators/pyramid.py (distinct alias names because DuckDB
+    lateral alias references would otherwise shadow the source x/y)."""
+    return f"""
+      {out}_c AS (SELECT zoom - 1 AS zoom, x // 2 AS nx, y // 2 AS ny,
+          fid, w,
+          (px + (x % 2) * 4096) // 2 AS npx,
+          (py + (y % 2) * 4096) // 2 AS npy,
+          ROW_NUMBER() OVER (PARTITION BY x // 2, y // 2
+                             ORDER BY w DESC, fid) AS rn
+        FROM {src}),
+      {out} AS (SELECT zoom, CAST(nx AS INT) AS x, CAST(ny AS INT) AS y,
+          fid, w, npx AS px, npy AS py
+        FROM {out}_c WHERE rn <= 20)"""
 
 
 def _merc_xy(zoom: int) -> tuple[str, str]:
@@ -3499,6 +3553,27 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
                         WHEN 'de' THEN 0.25 ELSE 0.1 END
               * 4294967296 AS BIGINT)
+        """,
+        "pyramid_thinned_counts": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            f6 AS (SELECT 6 AS zoom,
+              CAST(GREATEST(0, LEAST(63, FLOOR({gx6} / 4096))) AS INT) AS x,
+              CAST(GREATEST(0, LEAST(63, FLOOR({gy6} / 4096))) AS INT) AS y,
+              event_id AS fid, event_id * 37 % 1000 AS w,
+              event_id * 131 % 4096 AS px, event_id * 223 % 4096 AS py
+              FROM pts),
+            {_pyramid_lvl('f6', 'f5')},
+            {_pyramid_lvl('f5', 'f4')},
+            {_pyramid_lvl('f4', 'f3')},
+            a AS (SELECT * FROM f6 UNION ALL SELECT * FROM f5
+                  UNION ALL SELECT * FROM f4 UNION ALL SELECT * FROM f3)
+            SELECT zoom, x, y,
+              COUNT(*) AS n_feats,
+              CAST(SUM(w) AS BIGINT) AS sum_weight,
+              MIN(fid) AS min_fid,
+              CAST(SUM(px) AS BIGINT) AS sum_px,
+              CAST(SUM(py) AS BIGINT) AS sum_py
+            FROM a GROUP BY 1, 2, 3
         """,
         "dedup_groups_chain": """
             SELECT CAST(event_id AS BIGINT) AS doc_id,

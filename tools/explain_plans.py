@@ -129,6 +129,9 @@ AUDITS = {
     # (lineage truncated per round); sizes are ONE hash agg + a final
     # equi-join — never a per-round plan that grows with iterations
     "dedup_groups_chain": ["Scan ExistingRDD", "HashAggregate", "HashJoin"],
+    # per-level top-K must push below the shuffle (WindowGroupLimit),
+    # never a global sort; final rollup is one hash agg
+    "pyramid_thinned_counts": ["WindowGroupLimit", "HashAggregate"],
     # SCD2 history: ONE lead window on the key
     "scd2_user_history": ["Window", "Sort"],
 }
