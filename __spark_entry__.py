@@ -412,6 +412,19 @@ def pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def ivf_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF+PQ composed ANN (`operators/pq.py::ivf_pq_topk` — Jégou's
+    IVFADC): coarse cosine buckets prune the corpus to nprobe/C via an
+    equi-join, then PQ ADC table lookups score only the touched rows —
+    the plan that serves 10^12-vector search. Every float reduction is
+    a pinned-order fold; the oracle replays bucket assignment, probe
+    selection, codes, ADC tables and the final rank bit-for-bit."""
+    from mvtspark.operators.pq import ivf_pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_pq_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
 def quadkey_cells(spark: SparkSession, sf: str) -> DataFrame:
     """Bing quadkey cell index (`functions/geodesy.py::quadkey`): the
     fifth cell-key family, exactly aligned to the XYZ pyramid (every
@@ -2198,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": dedup_groups,
         "dedup_groups_chain": dedup_groups_chain,
         "pyramid_thinned_counts": pyramid_thinned_counts,
+        "ivf_pq_ann_topk": ivf_pq_ann_topk,
         "stratified_sample_split": stratified_sample_split,
         "repetition_quality": repetition_quality,
         "image_phash_pairs": image_phash_pairs,
@@ -2948,6 +2962,65 @@ def oracle_sql() -> dict[str, str]:
                 list_sum(list_transform(range(0, 8), j ->
                   q.qtab[j*16 + cd.codes[j + 1] + 1])) AS adc
               FROM codes cd, qtab q WHERE cd.vec_id != q.query_id)
+            SELECT query_id, vec_id, ROUND(adc, 6) AS adc, rank FROM (
+              SELECT query_id, vec_id, adc,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "ivf_pq_ann_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * x))) AS nrm
+              FROM embeddings),
+            cent AS (SELECT vec_id AS cent_id, embedding AS c_emb,
+                            nrm AS cent_norm
+                     FROM e WHERE vec_id < 16),
+            asim AS (
+              SELECT e.vec_id, c.cent_id,
+                list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * c.c_emb[i]))
+                  / c.cent_norm AS sim
+              FROM e, cent c),
+            bucket AS (
+              SELECT vec_id, cent_id AS ivf_bucket FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cent_id ASC) AS rk FROM asim)
+              WHERE rk = 1),
+            probes AS (
+              SELECT vec_id AS query_id, cent_id AS ivf_bucket FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cent_id ASC) AS rk FROM asim
+                WHERE vec_id < 5)
+              WHERE rk <= 4),
+            cb AS (SELECT CAST(vec_id AS INT) AS cent_id,
+                          embedding AS c_emb
+                   FROM embeddings WHERE vec_id < 16),
+            sj AS (SELECT emb.vec_id, c.cent_id, t.range AS j,
+                     list_sum(list_transform(range(1, 9), i ->
+                       (CAST(emb.embedding[t.range*8 + i] AS DOUBLE)
+                          - CAST(c.c_emb[t.range*8 + i] AS DOUBLE))
+                       * (CAST(emb.embedding[t.range*8 + i] AS DOUBLE)
+                          - CAST(c.c_emb[t.range*8 + i] AS DOUBLE))))
+                       AS dist
+                   FROM embeddings emb, cb c, range(0, 8) t),
+            codes AS (SELECT vec_id, list(cent_id ORDER BY j) AS codes
+              FROM (SELECT vec_id, j, cent_id,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                         ORDER BY dist, cent_id) AS rn
+                    FROM sj) WHERE rn = 1 GROUP BY vec_id),
+            qtab AS (SELECT vec_id AS query_id,
+                       list(dist ORDER BY j * 16 + cent_id) AS qtab
+                     FROM sj WHERE vec_id < 5 GROUP BY vec_id),
+            scored AS (SELECT p.query_id, cd.vec_id,
+                list_sum(list_transform(range(0, 8), j ->
+                  q.qtab[j*16 + cd.codes[j + 1] + 1])) AS adc
+              FROM codes cd
+              JOIN bucket b ON cd.vec_id = b.vec_id
+              JOIN probes p ON b.ivf_bucket = p.ivf_bucket
+              JOIN qtab q ON q.query_id = p.query_id
+              WHERE cd.vec_id != p.query_id)
             SELECT query_id, vec_id, ROUND(adc, 6) AS adc, rank FROM (
               SELECT query_id, vec_id, adc,
                 ROW_NUMBER() OVER (PARTITION BY query_id

@@ -83,26 +83,12 @@ def pq_encode(
     )
 
 
-def pq_topk(
-    emb: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    m: int = 8,
-    k_codes: int = 16,
-    dim: int = 64,
+def _adc_table(
+    queries: DataFrame, cb: DataFrame, m: int, k_codes: int, sub: int
 ) -> DataFrame:
-    """Approximate top-k nearest (smallest ADC distance) per query.
-
-    Output: (query_id, vec_id, adc, rank) — ``adc`` is the summed
-    per-subspace query→codeword squared L2, the standard PQ distance
-    estimate."""
-    sub = dim // m
-    codes = pq_encode(emb, m, k_codes, dim)
-    cb = _codebook(emb, k_codes)
-
-    # per-query ADC table: qtab[j*k_codes + c] = d(q_sub_j, codeword_c_j),
-    # assembled in index order via array_sort so the fold below can
-    # address it positionally
+    """Per-query ADC table: qtab[j*k_codes + c] = d(q_sub_j,
+    codeword_c_j), assembled in index order via array_sort so the fold
+    below can address it positionally."""
     dists = F.array(
         *[
             _sub_l2(F.col("embedding"), F.col("c_emb"), j, sub)
@@ -123,7 +109,7 @@ def pq_topk(
             "dist",
         )
     )
-    qtab = (
+    return (
         qd.groupBy("query_id")
         .agg(F.array_sort(F.collect_list(F.struct("idx", "dist"))).alias("t"))
         .select(
@@ -131,7 +117,13 @@ def pq_topk(
             F.transform("t", lambda x: x["dist"]).alias("qtab"),
         )
     )
-    adc = F.aggregate(
+
+
+def _adc_fold(m: int, k_codes: int):
+    """Approximate distance: ordered fold of m positional lookups of
+    the broadcast qtab — codegen adds, deterministic float order, so
+    DuckDB's list_sum replays it bit-for-bit."""
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
         lambda acc, j: acc
@@ -140,14 +132,85 @@ def pq_topk(
             j * k_codes + F.element_at(F.col("codes"), j + 1) + 1,
         ),
     )
-    scored = (
-        codes.crossJoin(F.broadcast(qtab))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("adc", adc)
-    )
+
+
+def _adc_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("adc", 6).alias("adc"), "rank")
     )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k nearest (smallest ADC distance) per query.
+
+    Output: (query_id, vec_id, adc, rank) — ``adc`` is the summed
+    per-subspace query→codeword squared L2, the standard PQ distance
+    estimate."""
+    sub = dim // m
+    codes = pq_encode(emb, m, k_codes, dim)
+    qtab = _adc_table(queries, _codebook(emb, k_codes), m, k_codes, sub)
+    scored = (
+        codes.crossJoin(F.broadcast(qtab))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc", _adc_fold(m, k_codes))
+    )
+    return _adc_topk(scored, k)
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF coarse filter + PQ ADC rerank — the composition actually
+    deployed at 10^12 vectors (Jégou et al.'s IVFADC): the probe
+    EQUI-JOIN on ivf_bucket touches ~nprobe/C of the corpus and every
+    touched row costs m table lookups over 4-byte codes, so per-query
+    work is (nprobe/C)·n·m adds — vs pq_topk's full code scan and
+    ivf_topk's full-float math inside probes. Corpus side is two
+    narrow passes (bucket assignment + codes, each ONE partially-
+    aggregated shuffle); the query side (probes × ADC tables) is tiny
+    and broadcast. Fully relational → DuckDB-oracled end-to-end."""
+    from .ann import _centroid_dim, _dot, ivf_assign
+
+    sub = dim // m
+    buckets = ivf_assign(emb, n_centroids).select("vec_id", "ivf_bucket")
+    codes = pq_encode(emb, m, k_codes, dim).join(buckets, "vec_id")
+
+    cent = _centroid_dim(emb, n_centroids)
+    qsim = _dot(F.col("embedding"), F.col("c_emb")) / F.col("cent_norm")
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        queries.select("vec_id", "embedding")
+        .crossJoin(cent)
+        .withColumn("qsim", qsim)
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("ivf_bucket"),
+        )
+    )
+    qtab = _adc_table(queries, _codebook(emb, k_codes), m, k_codes, sub)
+    probe_tabs = probes.join(qtab, "query_id")  # nprobe rows per query
+    scored = (
+        codes.join(F.broadcast(probe_tabs), "ivf_bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc", _adc_fold(m, k_codes))
+    )
+    return _adc_topk(scored, k)

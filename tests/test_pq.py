@@ -57,3 +57,37 @@ def test_rank_is_adc_ascending(spark, sf_dir):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         assert all(a.adc <= b.adc for a, b in zip(rows, rows[1:]))
         assert all(r.vec_id != r.query_id for r in rows)
+
+
+def test_ivf_pq_probe_all_equals_pq(spark, sf_dir):
+    """With nprobe == n_centroids every bucket is probed, so the IVFADC
+    candidate set is the whole corpus and the output must be IDENTICAL
+    to plain PQ top-k (same codes, same ADC tables, same ranks)."""
+    from pyspark.sql import functions as F
+
+    from mvtspark.operators.pq import ivf_pq_topk, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, pq_topk(emb, q, k=4).collect()))
+    b = sorted(map(tuple, ivf_pq_topk(emb, q, k=4, nprobe=16).collect()))
+    assert a == b
+
+
+def test_ivf_pq_output_shape(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mvtspark.operators.pq import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = ivf_pq_topk(emb, emb.where(F.col("vec_id") < 2), k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.vec_id != r.query_id
+    for qid, rs in by_q.items():
+        assert sorted(x.rank for x in rs) == [1, 2, 3]
+        ordered = sorted(rs, key=lambda x: x.rank)
+        assert all(
+            ordered[i].adc <= ordered[i + 1].adc for i in range(len(rs) - 1)
+        )

@@ -132,6 +132,9 @@ AUDITS = {
     # per-level top-K must push below the shuffle (WindowGroupLimit),
     # never a global sort; final rollup is one hash agg
     "pyramid_thinned_counts": ["WindowGroupLimit", "HashAggregate"],
+    # IVFADC: the corpus reaches the scorer through a hash equi-join on
+    # ivf_bucket (broadcast probe tabs) — never a cross join of codes
+    "ivf_pq_ann_topk": ["BroadcastHashJoin", "SortAggregate"],
     # SCD2 history: ONE lead window on the key
     "scd2_user_history": ["Window", "Sort"],
 }
