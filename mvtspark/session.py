@@ -31,6 +31,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime row-level filtering: a selective dim predicate builds a
+        # bloom filter that prunes the FACT scan before the shuffle join
+        # — at 100 TB the application side always clears the (default
+        # 10 GB) scan-size threshold, so the filter injects exactly when
+        # it pays; tests/test_runtime_filter.py pins the injection by
+        # lowering the threshold to simulate at-scale conditions
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
