@@ -69,6 +69,11 @@ def main() -> None:
     from mvtspark.sources.images import synth_points
     from mvtspark.sources.tiles import decode_tiles, encode_tiles
 
+    if args.resume and not args.job_id:
+        # a fresh random id would match NO checkpoint rows: the anti-join
+        # re-plans everything and append-mode writing then DUPLICATES the
+        # finished tiles — fail loudly instead of silently redoing work
+        ap.error("--resume requires --job-id (the id of the killed run)")
     job_id = args.job_id or f"pipeline-{uuid.uuid4().hex[:8]}"
 
     if args.images.startswith("synth:"):
