@@ -1858,6 +1858,64 @@ def pyramid_thinned_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """NATIVE session windows under STREAMING semantics
+    (`streaming/pipeline.py::stream_user_sessions`): a bounded two-file
+    event stream (real events, then a far-future sentinel ping that
+    advances the watermark past every real session end) runs the
+    watermarked gap-merge sessionizer with APPEND output under
+    Trigger.AvailableNow — each session emits exactly once, when the
+    watermark passes its end. ORACLED against the same strictly->gap
+    break rule as the batch twin (`session_window_agg`), so streaming
+    state merging must reproduce the batch sessions bit-for-bit."""
+    import datetime as _dt
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    from mvtspark.streaming import file_sessions_stream, stream_user_sessions
+
+    base = tempfile.mkdtemp(prefix="mvtspark_sessq_") + "/in"
+    e = _t(spark, sf, "events").where(F.col("event_id") < 600)
+    e.select("user_id", F.col("ts").cast("timestamp").alias("ts")).coalesce(
+        1
+    ).write.mode("append").parquet(base)
+    spark.createDataFrame(
+        [(-1, _dt.datetime(2035, 1, 1))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(base)
+    # the sentinel MUST be the later micro-batch: processed first, its
+    # watermark would mark every real event late and drop them all
+    files = sorted(
+        (f for f in _os.listdir(base) if f.endswith(".parquet")),
+        key=lambda f: _os.path.getmtime(_os.path.join(base, f)),
+    )
+    for i, f in enumerate(files):
+        _os.utime(_os.path.join(base, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = file_sessions_stream(spark, base, max_files_per_trigger=1)
+    sess = stream_user_sessions(stream, gap="30 minutes")
+    name = "sessq_" + _uuid.uuid4().hex[:8]
+    # state-store instances scale with shuffle partitions; at gate size
+    # the per-store fixed cost dominates, so plan the stream narrow
+    # (cluster deployments size this to executor cores as usual)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming query did not finish in 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return spark.table(name).where(F.col("user_id") != -1)
+
+
 def streaming_tile_counts(spark: SparkSession, sf: str) -> DataFrame:
     """SURVEY §2.10 Structured Streaming, driver-visible and ORACLED:
     a bounded file stream (two appended micro-batch files, the second a
@@ -2212,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_chain": dedup_groups_chain,
         "pyramid_thinned_counts": pyramid_thinned_counts,
         "ivf_pq_ann_topk": ivf_pq_ann_topk,
+        "streaming_session_windows": streaming_session_windows,
         "stratified_sample_split": stratified_sample_split,
         "repetition_quality": repetition_quality,
         "image_phash_pairs": image_phash_pairs,
@@ -3067,6 +3126,24 @@ def oracle_sql() -> dict[str, str]:
                 ROW_NUMBER() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, term ASC) AS rank
               FROM sc) WHERE rank <= 3
+        """,
+        "streaming_session_windows": """
+            WITH s AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                       WHERE event_id < 600),
+            b AS (SELECT user_id, us,
+                    CASE WHEN LAG(us) OVER w IS NULL
+                           OR us - LAG(us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+                  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+            sid AS (SELECT user_id, us,
+                      SUM(brk) OVER (PARTITION BY user_id ORDER BY us)
+                        AS sid
+                    FROM b)
+            SELECT user_id,
+              MIN(us) AS session_start_us,
+              MAX(us) + 1800000000 AS session_end_us,
+              COUNT(*) AS n_events
+            FROM sid GROUP BY user_id, sid
         """,
         "session_window_agg": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS us FROM events),

@@ -1,10 +1,12 @@
 from .pipeline import (
     file_pings_stream,
     file_points_stream,
+    file_sessions_stream,
     stream_encode_sink,
     stream_geofence_transitions,
     stream_running_tile_totals,
     stream_tile_counts,
+    stream_user_sessions,
 )
 
 __all__ = [
@@ -14,4 +16,6 @@ __all__ = [
     "stream_encode_sink",
     "stream_running_tile_totals",
     "stream_geofence_transitions",
+    "file_sessions_stream",
+    "stream_user_sessions",
 ]

@@ -162,6 +162,57 @@ def stream_running_tile_totals(points: DataFrame, zoom: int) -> DataFrame:
     )
 
 
+SESSIONS_STREAM_SCHEMA = "user_id long, ts timestamp"
+
+
+def file_sessions_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming source over (user_id, ts) event parquet files — the
+    sessionization input shape (ts is TIMESTAMP so it can carry the
+    watermark)."""
+    return (
+        spark.readStream.schema(SESSIONS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_user_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 seconds"
+) -> DataFrame:
+    """NATIVE session windows in STREAMING mode (§2.10): watermarked
+    gap-merge sessionization. The state store holds each user's open
+    sessions; a session that spans micro-batches MERGES in state
+    (pinned by tests/test_streaming.py), and under append output a
+    session emits exactly once — when the watermark passes its end
+    (last event + gap). Same semantics as the batch `session_window_agg`
+    twin: events exactly ``gap`` apart merge (break is strictly > gap).
+
+    At scale this is the unbounded-input sessionizer: state is
+    per-open-session (bounded by watermark retention), the shuffle is
+    one hash partitioning on user_id, and emission is incremental —
+    no batch-job-over-everything per evaluation window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), gap).alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("sw.end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
+
+
 PING_STREAM_SCHEMA = "user_id long, ts timestamp_ntz, lng double, lat double"
 
 

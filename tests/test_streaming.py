@@ -268,3 +268,53 @@ def test_geofence_emits_catalog_fence_ids_not_bit_positions(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(spark.table(name).collect(), key=lambda r: r.ts_us)
     assert [(r.fence_id, r.entered) for r in got] == [(7, True), (7, False)]
+
+
+def test_streaming_session_merges_across_batches(spark, tmp_path):
+    """One user's session SPLIT across two micro-batch files must merge
+    in the state store into a single session (events 10 min apart,
+    gap 30 min), emitted once when the sentinel advances the watermark."""
+    import datetime as dt
+    import os as _os
+    import uuid
+
+    from mvtspark.streaming import file_sessions_stream, stream_user_sessions
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = str(tmp_path / "in")
+    b1 = [(7, t0), (7, t0 + dt.timedelta(minutes=10))]
+    b2 = [(7, t0 + dt.timedelta(minutes=20)), (8, t0)]
+    b3 = [(-1, t0 + dt.timedelta(days=365))]  # sentinel: flush watermark
+    for rows in (b1, b2, b3):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(base)
+    files = sorted(
+        (f for f in _os.listdir(base) if f.endswith(".parquet")),
+        key=lambda f: _os.path.getmtime(_os.path.join(base, f)),
+    )
+    for i, f in enumerate(files):
+        _os.utime(_os.path.join(base, f), (1_700_000_000 + i,) * 2)
+
+    stream = file_sessions_stream(spark, base, max_files_per_trigger=1)
+    name = "sessm_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_user_sessions(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    rows = {
+        r.user_id: r
+        for r in spark.table(name).where("user_id != -1").collect()
+    }
+    us = lambda d: int(d.timestamp() * 1_000_000)
+    assert rows[7].n_events == 3  # merged across batch 1 and 2
+    assert rows[7].session_start_us == us(t0.replace(tzinfo=dt.timezone.utc))
+    assert rows[7].session_end_us == us(
+        (t0 + dt.timedelta(minutes=50)).replace(tzinfo=dt.timezone.utc)
+    )
+    assert rows[8].n_events == 1
