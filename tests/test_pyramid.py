@@ -54,3 +54,35 @@ def test_plan_uses_window_group_limit(spark):
     with redirect_stdout(buf):
         df.explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_pyramid_invariants_randomized(spark):
+    """Randomized invariants over a synthetic level: every derived-level
+    tile holds <= k rows; halved coordinates stay inside the extent;
+    per-feature weights survive unchanged; output is independent of
+    input partitioning."""
+    import random
+
+    rng = random.Random(1234)
+    rows = [
+        (5, rng.randrange(32), rng.randrange(32), fid,
+         rng.randrange(1000), rng.randrange(4096), rng.randrange(4096))
+        for fid in range(400)
+    ]
+    df1 = _feats(spark, rows).repartition(3)
+    df8 = _feats(spark, rows).repartition(11)
+    out1 = thin_pyramid(df1, 5, 2, k=5)
+    out8 = thin_pyramid(df8, 5, 2, k=5)
+    r1 = sorted(map(tuple, out1.collect()))
+    assert r1 == sorted(map(tuple, out8.collect()))
+
+    per_tile = {}
+    weights = {fid: w for (_, _, _, fid, w, _, _) in rows}
+    for zoom, x, y, fid, w, px, py in r1:
+        assert 2 <= zoom <= 5
+        assert 0 <= x < (1 << zoom) and 0 <= y < (1 << zoom)
+        assert 0 <= px < 4096 and 0 <= py < 4096
+        assert w == weights[fid]
+        if zoom < 5:
+            per_tile[(zoom, x, y)] = per_tile.get((zoom, x, y), 0) + 1
+    assert per_tile and max(per_tile.values()) <= 5
