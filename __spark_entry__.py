@@ -2137,6 +2137,35 @@ def hex_kring_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def zonal_fence_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Zonal statistics (`operators/raster.py::zonal_stats`): events
+    reduce to a 0.5-degree world raster (count per cell), then each
+    convex hexagon zone aggregates the cells whose CENTERS fall inside
+    (sign-fold test on the centers — the standard zonal rule). The
+    raster side is bounded by grid resolution regardless of event
+    count; the zone test is a broadcast filter; ONE agg shuffle.
+    ORACLED: DuckDB replays the quantization, the center PIP fold over
+    the repr()'d edge literals, and the rollup bit-for-bit."""
+    from mvtspark.operators.geofence import fence_catalog
+    from mvtspark.operators.raster import zonal_stats
+
+    pts = _event_points(spark, sf)
+    cells = (
+        pts.select(
+            F.floor(F.col("lng") * 2).alias("cx"),
+            F.floor(F.col("lat") * 2).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("val"))
+        .select(
+            ((F.col("cx") + 0.5) / 2.0).alias("cell_lng"),
+            ((F.col("cy") + 0.5) / 2.0).alias("cell_lat"),
+            "val",
+        )
+    )
+    return zonal_stats(cells, fence_catalog(spark))
+
+
 def rasterize_tile_grid(spark: SparkSession, sf: str) -> DataFrame:
     """Raster side of raster↔vector (operators/raster.py), ORACLED: event
     points are rasterized into per-tile 64×64 uint32 density grids (a
@@ -2271,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_thinned_counts": pyramid_thinned_counts,
         "ivf_pq_ann_topk": ivf_pq_ann_topk,
         "streaming_session_windows": streaming_session_windows,
+        "zonal_fence_stats": zonal_fence_stats,
         "stratified_sample_split": stratified_sample_split,
         "repetition_quality": repetition_quality,
         "image_phash_pairs": image_phash_pairs,
@@ -3095,6 +3125,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_qk} AS qk, COUNT(*) AS n_points,
                    CAST(SUM(event_id) AS BIGINT) AS sum_ids
             FROM t GROUP BY qk
+        """,
+        "zonal_fence_stats": f"""
+            WITH pts AS ({_EVENT_PTS}),
+            cells AS (SELECT FLOOR(lng * 2) AS cx, FLOOR(lat * 2) AS cy,
+                        COUNT(*) AS val
+                      FROM pts GROUP BY 1, 2),
+            ctr AS (SELECT (cx + 0.5) / 2.0 AS clng, (cy + 0.5) / 2.0 AS clat,
+                      val FROM cells),
+            edges(fence_id, x1, y1, x2, y2) AS (VALUES {_fence_rows}),
+            pf AS (SELECT c.clng, c.clat, c.val, e.fence_id,
+                     MIN((e.x2 - e.x1) * (c.clat - e.y1)
+                         - (e.y2 - e.y1) * (c.clng - e.x1)) AS mc
+                   FROM ctr c, edges e GROUP BY 1, 2, 3, 4)
+            SELECT fence_id, COUNT(*) AS n_cells,
+                   CAST(SUM(val) AS BIGINT) AS total,
+                   CAST(MAX(val) AS BIGINT) AS max_cell
+            FROM pf WHERE mc >= 0 GROUP BY fence_id
         """,
         "convex_geofence_pip": f"""
             WITH pts AS ({_EVENT_PTS}),

@@ -172,3 +172,35 @@ def vectorize_rect_runs(
             "px_x0 int, px_y0 int, px_x1 int, px_y1 int, run_sum long"
         ),
     )
+
+
+def zonal_stats(
+    cells: DataFrame,
+    fences: DataFrame,
+    x_col: str = "cell_lng",
+    y_col: str = "cell_lat",
+    value_col: str = "val",
+) -> DataFrame:
+    """Zonal statistics — aggregate a raster's cells per polygon zone
+    (the classic raster×vector analysis: "mean rainfall per district").
+
+    ``cells``: one row per raster cell with its CENTER coordinates and a
+    value; ``fences``: convex CCW zone catalog (fence_id, edges), tiny →
+    broadcast. A cell contributes to a zone iff its center is inside
+    (the standard zonal rule — no partial-coverage weighting), tested
+    with the exact sign-fold used everywhere else (+,-,* doubles only,
+    so a SQL oracle replays it bit-for-bit).
+
+    Scale shape: the raster side arrives already reduced (one row per
+    cell, bounded by grid resolution, NOT by input points); the zone
+    test is a broadcast join filter, and the per-zone rollup is ONE
+    partially-aggregated shuffle on fence_id.
+    """
+    from .geofence import geofence_join
+
+    tagged = geofence_join(cells, fences, x_col=x_col, y_col=y_col)
+    return tagged.groupBy("fence_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(value_col).cast("long").alias("total"),
+        F.max(value_col).cast("long").alias("max_cell"),
+    )

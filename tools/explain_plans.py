@@ -135,6 +135,9 @@ AUDITS = {
     # IVFADC: the corpus reaches the scorer through a hash equi-join on
     # ivf_bucket (broadcast probe tabs) — never a cross join of codes
     "ivf_pq_ann_topk": ["BroadcastHashJoin", "SortAggregate"],
+    # zonal stats: raster reduce (hash agg) -> broadcast zone filter ->
+    # one per-zone agg; never a shuffle of the raw points to the zones
+    "zonal_fence_stats": ["BroadcastNestedLoopJoin", "HashAggregate"],
     # SCD2 history: ONE lead window on the key
     "scd2_user_history": ["Window", "Sort"],
 }
