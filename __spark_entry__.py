@@ -2137,6 +2137,26 @@ def hex_kring_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def decontamination_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination (`operators/dedup.py::decontaminate`):
+    every 25th document plays the benchmark; each remaining training
+    doc reports how many of its distinct 3-gram shingles appear
+    anywhere in the benchmark, plus the integer-math >=10% flag — the
+    standard n-gram contamination rule for LLM corpora. Benchmark
+    shingles form a broadcast dim bounded by the EVAL set; one probe
+    join + one per-doc agg shuffle. ORACLED: DuckDB rebuilds both
+    shingle sets with the shared _SHINGLES form and replays the left
+    join + counts exactly."""
+    from mvtspark.operators.dedup import decontaminate
+
+    d = _t(spark, sf, "documents")
+    return decontaminate(
+        d.where(F.col("doc_id") % 25 != 0),
+        d.where(F.col("doc_id") % 25 == 0),
+        n=3,
+    )
+
+
 def zonal_fence_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Zonal statistics (`operators/raster.py::zonal_stats`): events
     reduce to a 0.5-degree world raster (count per cell), then each
@@ -2301,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_ann_topk": ivf_pq_ann_topk,
         "streaming_session_windows": streaming_session_windows,
         "zonal_fence_stats": zonal_fence_stats,
+        "decontamination_overlap": decontamination_overlap,
         "stratified_sample_split": stratified_sample_split,
         "repetition_quality": repetition_quality,
         "image_phash_pairs": image_phash_pairs,
@@ -3125,6 +3146,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_qk} AS qk, COUNT(*) AS n_points,
                    CAST(SUM(event_id) AS BIGINT) AS sum_ids
             FROM t GROUP BY qk
+        """,
+        "decontamination_overlap": f"""
+            WITH tr AS (SELECT doc_id, {_SHINGLES} AS s
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks
+                    FROM documents WHERE doc_id % 25 != 0)),
+            bm AS (SELECT DISTINCT unnest(s) AS sh
+              FROM (SELECT {_SHINGLES} AS s
+                    FROM (SELECT string_split({_NORM}, ' ') AS toks
+                          FROM documents WHERE doc_id % 25 = 0))),
+            ex AS (SELECT doc_id, unnest(s) AS sh FROM tr),
+            j AS (SELECT ex.doc_id,
+                    CASE WHEN bm.sh IS NULL THEN 0 ELSE 1 END AS hit
+                  FROM ex LEFT JOIN bm ON ex.sh = bm.sh)
+            SELECT doc_id, COUNT(*) AS n_shingles,
+              CAST(SUM(hit) AS BIGINT) AS n_contaminated,
+              SUM(hit) * 10 >= COUNT(*) AS flagged
+            FROM j GROUP BY doc_id
         """,
         "zonal_fence_stats": f"""
             WITH pts AS ({_EVENT_PTS}),

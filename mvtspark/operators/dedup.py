@@ -708,3 +708,43 @@ def jaccard_prefix_candidates(
         )
         .distinct()
     )
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, n: int = 3
+) -> DataFrame:
+    """Eval-set contamination check — the n-gram overlap rule used to
+    decontaminate LLM training corpora: for each training doc, how many
+    of its DISTINCT word n-gram shingles appear anywhere in the
+    benchmark set.
+
+    Plan shape at 10^12 docs: the benchmark side collapses to a
+    distinct-shingle dimension bounded by the EVAL corpus (small —
+    broadcast); training docs explode their shingles once and probe it
+    with a broadcast hash join; the per-doc rollup is ONE partially-
+    aggregated shuffle on doc_id. Counts are exact integers (callers
+    derive fractions), `flagged` is the integer-math >= 10% rule.
+    """
+    bench_sh = (
+        _shingle_sets(benchmark, n)
+        .select(F.explode("sh").alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_sh = _shingle_sets(docs, n).select(
+        "doc_id", F.explode("sh").alias("sh")
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "flagged",
+            F.col("n_contaminated") * 10 >= F.col("n_shingles"),
+        )
+    )

@@ -138,6 +138,9 @@ AUDITS = {
     # zonal stats: raster reduce (hash agg) -> broadcast zone filter ->
     # one per-zone agg; never a shuffle of the raw points to the zones
     "zonal_fence_stats": ["BroadcastNestedLoopJoin", "HashAggregate"],
+    # decontamination: benchmark shingles broadcast, training shingles
+    # probe via hash join, per-doc rollup — one shuffle on doc_id
+    "decontamination_overlap": ["BroadcastHashJoin", "Generate", "HashAggregate"],
     # SCD2 history: ONE lead window on the key
     "scd2_user_history": ["Window", "Sort"],
 }
