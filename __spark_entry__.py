@@ -2137,6 +2137,35 @@ def hex_kring_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch heavy hitters (`operators/text.py::cms_sketch`/
+    `cms_estimate`): a 4×4096 mergeable counter table summarizes the
+    whole token stream in bounded memory (16k cells at ANY corpus
+    size), then the exact top-20 tokens read back their min-of-depth
+    estimates — cms_n >= exact_n always, equality when no collision.
+    Hashing is the repo's polynomial fold times odd multipliers mod
+    2^64, so the ORACLE rebuilds the identical sketch cell-for-cell in
+    DuckDB (HUGEINT products) and the gate checks exact counts AND
+    estimates."""
+    from mvtspark.operators.text import cms_estimate, cms_sketch
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    exact_top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(20)
+    )
+    sketch = cms_sketch(toks, depth=4, width=4096)
+    est = cms_estimate(exact_top.select("tok"), sketch, depth=4, width=4096)
+    return exact_top.join(est, "tok").select(
+        F.col("tok").alias("token"), "exact_n", "cms_n"
+    )
+
+
 def decontamination_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Eval-set decontamination (`operators/dedup.py::decontaminate`):
     every 25th document plays the benchmark; each remaining training
@@ -2322,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_windows": streaming_session_windows,
         "zonal_fence_stats": zonal_fence_stats,
         "decontamination_overlap": decontamination_overlap,
+        "cms_heavy_hitters": cms_heavy_hitters,
         "stratified_sample_split": stratified_sample_split,
         "repetition_quality": repetition_quality,
         "image_phash_pairs": image_phash_pairs,
@@ -3146,6 +3176,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_qk} AS qk, COUNT(*) AS n_points,
                    CAST(SUM(event_id) AS BIGINT) AS sum_ids
             FROM t GROUP BY qk
+        """,
+        "cms_heavy_hitters": f"""
+            WITH toks AS (SELECT
+                unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  AS tok
+              FROM documents),
+            t2 AS (SELECT tok FROM toks WHERE tok != ''),
+            th AS (SELECT tok, COUNT(*) AS cnt,
+                list_reduce(list_prepend(CAST({_TSEED} AS HUGEINT),
+                  list_transform(split(tok, ''),
+                                 c -> CAST(unicode(c) AS HUGEINT))),
+                  (acc, c) -> (acc * {_TMUL} + c) % {u64}) AS h
+              FROM t2 GROUP BY tok),
+            a(d, mult) AS (VALUES (0, CAST('1181783497276652981' AS HUGEINT)), (1, CAST('7664345821815920749' AS HUGEINT)), (2, CAST('2862933555777941757' AS HUGEINT)), (3, CAST('3202034522624059733' AS HUGEINT))),
+            cells AS (SELECT a.d,
+                CAST((th.h * a.mult) % {u64} % 4096 AS INT) AS bucket,
+                th.tok, th.cnt
+              FROM th, a),
+            cms AS (SELECT d, bucket, CAST(SUM(cnt) AS BIGINT) AS c
+                    FROM cells GROUP BY 1, 2),
+            top AS (SELECT tok, cnt AS exact_n FROM th
+                    ORDER BY cnt DESC, tok LIMIT 20),
+            est AS (SELECT cells.tok, MIN(cms.c) AS cms_n
+                    FROM cells JOIN cms USING (d, bucket)
+                    WHERE cells.tok IN (SELECT tok FROM top)
+                    GROUP BY cells.tok)
+            SELECT top.tok AS token, CAST(top.exact_n AS BIGINT) AS exact_n,
+                   CAST(est.cms_n AS BIGINT) AS cms_n
+            FROM top JOIN est ON top.tok = est.tok
         """,
         "decontamination_overlap": f"""
             WITH tr AS (SELECT doc_id, {_SHINGLES} AS s

@@ -10,6 +10,7 @@ path, so they codegen and scale linearly).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -226,4 +227,71 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "score", "rank")
+    )
+
+
+# count-min sketch: odd multipliers (public xorshift/splitmix constants)
+# define the depth pairwise hash family h_d(x) = ((hash(x)*A_d) mod 2^64)
+# mod width — SQL-reproducible (HUGEINT products in the oracle)
+CMS_A = (
+    1181783497276652981,
+    7664345821815920749,
+    2862933555777941757,
+    3202034522624059733,
+)
+
+
+def _cms_buckets_udf(depth: int, width: int):
+    """(token string) → array<long>[depth] of sketch buckets, whole-batch
+    vectorized through kernels.strhash (the DuckDB-reproducible
+    polynomial hash — NOT Spark's xxhash64, so the oracle can rebuild
+    the identical sketch)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _f(tok: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from mvtspark.kernels.strhash import token_hashes_batch
+
+        th, cn = token_hashes_batch(tok.tolist())
+        assert int(cn.sum()) == len(tok), "tokens must be single words"
+        out = np.empty((len(tok), depth), dtype=np.uint64)
+        for d in range(depth):
+            out[:, d] = (th * np.uint64(CMS_A[d])) % np.uint64(width)
+        s64 = out.view(np.int64)
+        return pd.Series(list(s64))
+
+    return _f
+
+
+def cms_sketch(tokens: DataFrame, depth: int = 4, width: int = 4096) -> DataFrame:
+    """Count-min sketch table over a token stream: (d, bucket, c).
+
+    The mergeable bounded-memory heavy-hitter structure: the table is
+    depth×width counters REGARDLESS of corpus size (here ≤ 16,384 rows
+    for a 10^12-token stream), built with ONE partially-aggregated
+    shuffle. Sketches from different corpus shards merge by cell-wise
+    addition (a groupBy over their union)."""
+    return (
+        tokens.withColumn("_b", _cms_buckets_udf(depth, width)(F.col("tok")))
+        .select(F.posexplode("_b").alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    query_tokens: DataFrame, sketch: DataFrame, depth: int = 4, width: int = 4096
+) -> DataFrame:
+    """Point-estimate counts for query tokens from a sketch: the MIN of
+    the token's depth counters (over-estimates only, never under). The
+    sketch is tiny → broadcast; one hash equi-join on (d, bucket)."""
+    qb = query_tokens.withColumn(
+        "_b", _cms_buckets_udf(depth, width)(F.col("tok"))
+    ).select("tok", F.posexplode("_b").alias("d", "bucket"))
+    return (
+        qb.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("c").cast("long").alias("cms_n"))
     )

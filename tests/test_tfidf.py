@@ -49,3 +49,38 @@ def test_whitespace_and_case_normalization(spark):
     )
     rows = tfidf_top_terms(docs, k=3).collect()
     assert len(rows) == 1 and rows[0].term == "apple"
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """CMS property: estimate >= true count for EVERY token; and the
+    sketch of a union equals cell-wise addition of shard sketches."""
+    from pyspark.sql import functions as F
+
+    from mvtspark.operators.text import cms_estimate, cms_sketch
+
+    words = (["spark"] * 50 + ["tile"] * 30 + ["arrow"] * 7
+             + [f"w{i}" for i in range(200)])
+    toks = spark.createDataFrame([(w,) for w in words], "tok string")
+    sk = cms_sketch(toks, depth=4, width=256)  # narrow: force collisions
+    truth = {r.tok: r.n for r in toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    est = {
+        r.tok: r.cms_n
+        for r in cms_estimate(
+            toks.select("tok").distinct(), sk, depth=4, width=256
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[t] >= n for t, n in truth.items())
+    assert est["spark"] >= 50 and est["tile"] >= 30
+
+    # merge = cell-wise addition: groupBy over the shard-sketch union
+    half = len(words) // 2
+    s1 = cms_sketch(spark.createDataFrame([(w,) for w in words[:half]], "tok string"), 4, 256)
+    s2 = cms_sketch(spark.createDataFrame([(w,) for w in words[half:]], "tok string"), 4, 256)
+    merged = (
+        s1.unionByName(s2).groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+    )
+    a = sorted(map(tuple, sk.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b

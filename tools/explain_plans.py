@@ -141,6 +141,9 @@ AUDITS = {
     # decontamination: benchmark shingles broadcast, training shingles
     # probe via hash join, per-doc rollup — one shuffle on doc_id
     "decontamination_overlap": ["BroadcastHashJoin", "Generate", "HashAggregate"],
+    # CMS: sketch is one partial-agg shuffle to 16k cells; estimates
+    # probe it via a broadcast equi-join; exact top-20 is TOAP
+    "cms_heavy_hitters": ["TakeOrderedAndProject", "BroadcastHashJoin", "HashAggregate"],
     # SCD2 history: ONE lead window on the key
     "scd2_user_history": ["Window", "Sort"],
 }
