@@ -1875,45 +1875,61 @@ def streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
 
     from mvtspark.streaming import file_sessions_stream, stream_user_sessions
 
-    base = tempfile.mkdtemp(prefix="mvtspark_sessq_") + "/in"
-    e = _t(spark, sf, "events").where(F.col("event_id") < 600)
-    e.select("user_id", F.col("ts").cast("timestamp").alias("ts")).coalesce(
-        1
-    ).write.mode("append").parquet(base)
-    spark.createDataFrame(
-        [(-1, _dt.datetime(2035, 1, 1))], "user_id long, ts timestamp"
-    ).coalesce(1).write.mode("append").parquet(base)
-    # the sentinel MUST be the later micro-batch: processed first, its
-    # watermark would mark every real event late and drop them all
-    files = sorted(
-        (f for f in _os.listdir(base) if f.endswith(".parquet")),
-        key=lambda f: _os.path.getmtime(_os.path.join(base, f)),
-    )
-    for i, f in enumerate(files):
-        _os.utime(_os.path.join(base, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    import shutil as _shutil
 
-    stream = file_sessions_stream(spark, base, max_files_per_trigger=1)
-    sess = stream_user_sessions(stream, gap="30 minutes")
-    name = "sessq_" + _uuid.uuid4().hex[:8]
-    # state-store instances scale with shuffle partitions; at gate size
-    # the per-store fixed cost dominates, so plan the stream narrow
-    # (cluster deployments size this to executor cores as usual)
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    root = tempfile.mkdtemp(prefix="mvtspark_sessq_")
+    base = root + "/in"
     try:
-        q = (
-            sess.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("streaming query did not finish in 600s")
+        e = _t(spark, sf, "events").where(F.col("event_id") < 600)
+        e.select("user_id", F.col("ts").cast("timestamp").alias("ts")).coalesce(
+            1
+        ).write.mode("append").parquet(base)
+        # the sentinel MUST be the later micro-batch: processed first, its
+        # watermark would mark every real event late and drop them all.
+        # Batch order is known A PRIORI from write order — capture the
+        # first write's files before the second lands, then pin utimes by
+        # that knowledge (sorting observed mtimes could tie on a coarse
+        # mtime tick and order the sentinel first arbitrarily)
+        first = {f for f in _os.listdir(base) if f.endswith(".parquet")}
+        spark.createDataFrame(
+            [(-1, _dt.datetime(2035, 1, 1))], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(base)
+        second = [
+            f
+            for f in _os.listdir(base)
+            if f.endswith(".parquet") and f not in first
+        ]
+        for f in first:
+            _os.utime(_os.path.join(base, f), (1_700_000_000, 1_700_000_000))
+        for f in second:
+            _os.utime(_os.path.join(base, f), (1_700_000_100, 1_700_000_100))
+
+        stream = file_sessions_stream(spark, base, max_files_per_trigger=1)
+        sess = stream_user_sessions(stream, gap="30 minutes")
+        name = "sessq_" + _uuid.uuid4().hex[:8]
+        # state-store instances scale with shuffle partitions; at gate size
+        # the per-store fixed cost dominates, so plan the stream narrow
+        # (cluster deployments size this to executor cores as usual)
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                sess.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("streaming query did not finish in 600s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        # the memory sink holds the rows driver-side; the input dir is
+        # no longer needed once the AvailableNow query has terminated
+        return spark.table(name).where(F.col("user_id") != -1)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-    return spark.table(name).where(F.col("user_id") != -1)
+        _shutil.rmtree(root, ignore_errors=True)
 
 
 def streaming_tile_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -2144,9 +2160,10 @@ def cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     size), then the exact top-20 tokens read back their min-of-depth
     estimates — cms_n >= exact_n always, equality when no collision.
     Hashing is the repo's polynomial fold times odd multipliers mod
-    2^64, so the ORACLE rebuilds the identical sketch cell-for-cell in
-    DuckDB (HUGEINT products) and the gate checks exact counts AND
-    estimates."""
+    2^64, taking the HIGH 12 bits of the product (multiply-shift — the
+    low bits would collide identically across depths), so the ORACLE
+    rebuilds the identical sketch cell-for-cell in DuckDB (HUGEINT
+    product // 2^52) and the gate checks exact counts AND estimates."""
     from mvtspark.operators.text import cms_estimate, cms_sketch
 
     d = _t(spark, sf, "documents")
@@ -3191,15 +3208,17 @@ def oracle_sql() -> dict[str, str]:
               FROM t2 GROUP BY tok),
             a(d, mult) AS (VALUES (0, CAST('1181783497276652981' AS HUGEINT)), (1, CAST('7664345821815920749' AS HUGEINT)), (2, CAST('2862933555777941757' AS HUGEINT)), (3, CAST('3202034522624059733' AS HUGEINT))),
             cells AS (SELECT a.d,
-                CAST((th.h * a.mult) % {u64} % 4096 AS INT) AS bucket,
+                CAST(((th.h * a.mult) % {u64}) // 4503599627370496 AS INT)
+                  AS bucket,
                 th.tok, th.cnt
               FROM th, a),
             cms AS (SELECT d, bucket, CAST(SUM(cnt) AS BIGINT) AS c
                     FROM cells GROUP BY 1, 2),
             top AS (SELECT tok, cnt AS exact_n FROM th
                     ORDER BY cnt DESC, tok LIMIT 20),
-            est AS (SELECT cells.tok, MIN(cms.c) AS cms_n
-                    FROM cells JOIN cms USING (d, bucket)
+            est AS (SELECT cells.tok,
+                      MIN(coalesce(cms.c, 0)) AS cms_n
+                    FROM cells LEFT JOIN cms USING (d, bucket)
                     WHERE cells.tok IN (SELECT tok FROM top)
                     GROUP BY cells.tok)
             SELECT top.tok AS token, CAST(top.exact_n AS BIGINT) AS exact_n,

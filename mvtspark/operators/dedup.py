@@ -363,9 +363,15 @@ def _two_star_cc(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
             .distinct()
         ).localCheckpoint(eager=True)
         new_sig = _edge_signature(ss)
-        edges = ss
+        prev, edges = edges, ss
         if new_sig == sig:
-            break
+            # the signature is a hash-sum — confirm the fixed point
+            # exactly with ONE set-equality check (counts already match
+            # via the signature, so one-sided exceptAll suffices); a
+            # hash-sum collision between different edge sets must keep
+            # iterating, not silently emit wrong labels
+            if ss.exceptAll(prev).isEmpty():
+                break
         sig = new_sig
     else:
         raise RuntimeError(

@@ -199,8 +199,18 @@ def zonal_stats(
     from .geofence import geofence_join
 
     tagged = geofence_join(cells, fences, x_col=x_col, y_col=y_col)
+    # preserve the value column's type: float rasters ("mean rainfall")
+    # must NOT be truncated to long; integral inputs keep the stable
+    # BIGINT totals the oracles hash against
+    integral = dict(cells.dtypes).get(value_col) in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    total = F.sum(value_col)
+    mx = F.max(value_col)
+    if integral:
+        total, mx = total.cast("long"), mx.cast("long")
     return tagged.groupBy("fence_id").agg(
         F.count(F.lit(1)).alias("n_cells"),
-        F.sum(value_col).cast("long").alias("total"),
-        F.max(value_col).cast("long").alias("max_cell"),
+        total.alias("total"),
+        mx.alias("max_cell"),
     )

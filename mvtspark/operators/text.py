@@ -231,8 +231,13 @@ def tfidf_top_terms(
 
 
 # count-min sketch: odd multipliers (public xorshift/splitmix constants)
-# define the depth pairwise hash family h_d(x) = ((hash(x)*A_d) mod 2^64)
-# mod width — SQL-reproducible (HUGEINT products in the oracle)
+# define the depth multiply-shift hash family
+#   h_d(x) = ((hash(x)*A_d) mod 2^64) >> (64 - log2(width))
+# — the HIGH bits of the product (Dietzfelbinger multiply-shift), NOT the
+# low bits: an odd multiplier is a bijection mod any 2^k, so a low-bits
+# `mod width` would make all depth rows collide identically and void the
+# e^-depth CMS error bound. SQL-reproducible (HUGEINT product, then
+# integer-divide by 2^(64-log2 width) in the oracle).
 CMS_A = (
     1181783497276652981,
     7664345821815920749,
@@ -248,6 +253,9 @@ def _cms_buckets_udf(depth: int, width: int):
     the identical sketch)."""
     from pyspark.sql.types import ArrayType, LongType
 
+    assert width & (width - 1) == 0 and width > 1, "width must be a power of 2"
+    shift = 64 - (width.bit_length() - 1)
+
     @F.pandas_udf(ArrayType(LongType()))
     def _f(tok: pd.Series) -> pd.Series:
         import numpy as np
@@ -258,7 +266,7 @@ def _cms_buckets_udf(depth: int, width: int):
         assert int(cn.sum()) == len(tok), "tokens must be single words"
         out = np.empty((len(tok), depth), dtype=np.uint64)
         for d in range(depth):
-            out[:, d] = (th * np.uint64(CMS_A[d])) % np.uint64(width)
+            out[:, d] = (th * np.uint64(CMS_A[d])) >> np.uint64(shift)
         s64 = out.view(np.int64)
         return pd.Series(list(s64))
 
@@ -286,12 +294,17 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-estimate counts for query tokens from a sketch: the MIN of
     the token's depth counters (over-estimates only, never under). The
-    sketch is tiny → broadcast; one hash equi-join on (d, bucket)."""
+    sketch is tiny → broadcast; one hash equi-join on (d, bucket).
+
+    The sketch table is SPARSE (zero cells have no row), so the join is
+    a LEFT join with ``coalesce(c, 0)`` — a query token whose cell was
+    never touched correctly estimates 0 instead of losing the row from
+    the MIN (or vanishing from the output entirely)."""
     qb = query_tokens.withColumn(
         "_b", _cms_buckets_udf(depth, width)(F.col("tok"))
     ).select("tok", F.posexplode("_b").alias("d", "bucket"))
     return (
-        qb.join(F.broadcast(sketch), ["d", "bucket"])
+        qb.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy("tok")
-        .agg(F.min("c").cast("long").alias("cms_n"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_n"))
     )

@@ -59,6 +59,45 @@ def test_vectorize_rects_crafted_grid(spark):
     )
 
 
+def test_zonal_stats_preserves_float_values(spark):
+    """Float rasters ('mean rainfall per district') must not be
+    truncated to long; integral rasters keep BIGINT totals."""
+    from mvtspark.operators.geofence import fence_catalog, hex_fences
+    from mvtspark.operators.raster import zonal_stats
+
+    # cells at the centers of the first two fences, fractional values
+    fid0 = hex_fences(2)
+    centers = []
+    for fid, edges in fid0:
+        cx = sum(e[0] for e in edges) / 6.0
+        cy = sum(e[1] for e in edges) / 6.0
+        centers.append((cx, cy))
+    cells = spark.createDataFrame(
+        [
+            (centers[0][0], centers[0][1], 1.25),
+            (centers[0][0] + 0.1, centers[0][1], 2.5),
+            (centers[1][0], centers[1][1], 0.75),
+        ],
+        "cell_lng double, cell_lat double, val double",
+    )
+    out = {
+        r.fence_id: (r.n_cells, r.total, r.max_cell)
+        for r in zonal_stats(cells, fence_catalog(spark, 2)).collect()
+    }
+    assert out[0] == (2, 3.75, 2.5)
+    assert out[1] == (1, 0.75, 0.75)
+
+    # integral input keeps long totals (the oracled query's contract)
+    icells = spark.createDataFrame(
+        [(centers[0][0], centers[0][1], 3)],
+        "cell_lng double, cell_lat double, val int",
+    )
+    idf = zonal_stats(icells, fence_catalog(spark, 2))
+    dt = dict(idf.dtypes)
+    assert dt["total"] == "bigint" and dt["max_cell"] == "bigint"
+    assert idf.where(F.col("fence_id") == 0).first().total == 3
+
+
 def test_vectorize_threshold_one_matches_nonzero_pixels(spark):
     pts = _pts_df(spark, 500)
     r = rasterize_points(pts, zoom=2, grid=16).cache()

@@ -84,3 +84,44 @@ def test_cms_never_underestimates_and_merges(spark):
     a = sorted(map(tuple, sk.collect()))
     b = sorted(map(tuple, merged.collect()))
     assert a == b
+
+
+def test_cms_depth_rows_are_independent(spark):
+    """Regression for the low-bits hash flaw: with bucket = (h*A_d) mod
+    width, an odd A_d is a bijection mod 2^width-bits, so two tokens
+    colliding at depth 0 collided at EVERY depth (depth bought nothing).
+    The multiply-shift high-bits family must separate some depth-0
+    collision pair at another depth."""
+    from mvtspark.operators.text import _cms_buckets_udf
+
+    import pyspark.sql.functions as F
+
+    toks = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(4000)], "tok string"
+    ).withColumn("b", _cms_buckets_udf(4, 256)(F.col("tok")))
+    rows = toks.select("b").collect()
+    by_d0 = {}
+    for r in rows:
+        by_d0.setdefault(r.b[0], []).append(tuple(r.b))
+    split = 0
+    for group in by_d0.values():
+        if len(group) > 1 and len(set(group)) > 1:
+            split += 1
+    # 4000 tokens over 256 buckets -> plenty of d0 collisions; almost
+    # all must separate at a deeper row under an independent family
+    assert split >= 0.9 * sum(1 for g in by_d0.values() if len(g) > 1)
+
+
+def test_cms_estimate_zero_for_unseen_token(spark):
+    """A query token absent from the stream must estimate 0 (sparse
+    sketch cells coalesce to zero), not vanish from the output."""
+    from pyspark.sql import functions as F
+
+    from mvtspark.operators.text import cms_estimate, cms_sketch
+
+    toks = spark.createDataFrame([("aaa",), ("bbb",)], "tok string")
+    sk = cms_sketch(toks, depth=4, width=4096)
+    q = spark.createDataFrame([("aaa",), ("never-seen",)], "tok string")
+    est = {r.tok: r.cms_n for r in cms_estimate(q, sk, 4, 4096).collect()}
+    assert est["aaa"] >= 1
+    assert est["never-seen"] == 0
