@@ -2348,10 +2348,24 @@ def offset_convex_polygons(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is intentional: driver correctness sampling is
-    # time-budgeted and walks dict order, so queries whose latest
-    # driver verdict is stale (r1 hash-fails since fixed) or that
-    # have never been sampled come first.
+    # time-budgeted and walks dict order, so queries whose code changed
+    # AFTER their last driver-green row come first — round 4 fronts the
+    # four r3-stale ones (frame_sample r1-row/stub→MRV codec,
+    # geojson_points r1-row/e→E fix, streaming_geofence_alerts
+    # r2-row/fence-id fix, knn_sites r2-row/ring-UDF rewrite) plus the
+    # five whose code changed this round (CMS multiply-shift hash,
+    # two-star convergence confirm, session-window batch ordering,
+    # zonal float preservation).
     return {
+        "frame_sample": frame_sample,
+        "geojson_points": geojson_points,
+        "streaming_geofence_alerts": streaming_geofence_alerts,
+        "knn_sites": knn_sites,
+        "cms_heavy_hitters": cms_heavy_hitters,
+        "dedup_groups": dedup_groups,
+        "dedup_groups_chain": dedup_groups_chain,
+        "streaming_session_windows": streaming_session_windows,
+        "zonal_fence_stats": zonal_fence_stats,
         "range_join_px": range_join_px,
         "tile_pyramid_rollup": tile_pyramid_rollup,
         "xyz_cell_keys": xyz_cell_keys,
@@ -2361,14 +2375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_goldens": s2_cell_goldens,
         "invalid_tile_suite": invalid_tile_suite,
         "layers_index_scan": layers_index_scan,
-        "dedup_groups": dedup_groups,
-        "dedup_groups_chain": dedup_groups_chain,
         "pyramid_thinned_counts": pyramid_thinned_counts,
         "ivf_pq_ann_topk": ivf_pq_ann_topk,
-        "streaming_session_windows": streaming_session_windows,
-        "zonal_fence_stats": zonal_fence_stats,
         "decontamination_overlap": decontamination_overlap,
-        "cms_heavy_hitters": cms_heavy_hitters,
         "stratified_sample_split": stratified_sample_split,
         "repetition_quality": repetition_quality,
         "image_phash_pairs": image_phash_pairs,
@@ -2413,14 +2422,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_rank_functions": user_rank_functions,
         "salted_skew_join": salted_skew_join,
         "image_channel_goldens": image_channel_goldens,
-        "streaming_geofence_alerts": streaming_geofence_alerts,
         "hex_polyfill_fences": hex_polyfill_fences,
         "polyfill_cover_counts": polyfill_cover_counts,
         "image_fliprot_invariants": image_fliprot_invariants,
         "cdc_upsert_snapshot": cdc_upsert_snapshot,
         "scd2_user_history": scd2_user_history,
         "mercator_roundtrip": mercator_roundtrip,
-        "knn_sites": knn_sites,
         "mvt_roundtrip": mvt_roundtrip,
         "flagship_mvt_pipeline": flagship_mvt_pipeline,
         "image_roundtrip_invariants": image_roundtrip_invariants,
@@ -2433,7 +2440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": embedding_cosine_pairs,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
-        "geojson_points": geojson_points,
         "polygon_area_orientation": polygon_area_orientation,
         "asof_join_clicks": asof_join_clicks,
         "zigzag_varint_sql": zigzag_varint_sql,
@@ -2443,7 +2449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_roundtrip_polys": mvt_roundtrip_polys,
         "tile_parity_diff": tile_parity_diff,
         "mvt_clip_roundtrip": mvt_clip_roundtrip,
-        "frame_sample": frame_sample,
         "thumbnail_resize": thumbnail_resize,
     }
 
