@@ -165,7 +165,53 @@ def _centroid_dim(emb: DataFrame, n_centroids: int):
     )
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 10,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Deterministic spherical k-means coarse centroids.
+
+    Production shape (FAISS coarse quantizer training): runs
+    driver-side on a BOUNDED deterministic sample (``vec_id %
+    sample_mod == 0``), fixed init (first C sample rows, L2-normalized)
+    and iteration count — no RNG. The result is the same tiny
+    broadcast (cent_id, c_emb, cent_norm) dim as the seed-set default,
+    so every downstream plan is unchanged; only bucket QUALITY improves
+    (tighter buckets → higher recall at the same nprobe; BENCH.md
+    "ANN recall"). Spherical (normalize → mean → renormalize) because
+    assignment is by cosine."""
+    import numpy as np
+
+    rows = sorted(
+        emb.where((F.col("vec_id") % sample_mod) == 0)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Xn = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+    C = Xn[:n_centroids].copy()
+    for _ in range(iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for c in range(n_centroids):
+            pts = Xn[assign == c]
+            if len(pts):
+                mean = pts.mean(axis=0)
+                C[c] = mean / np.sqrt((mean * mean).sum())
+    spark = emb.sparkSession
+    return F.broadcast(
+        spark.createDataFrame(
+            [(int(c), [float(v) for v in C[c]]) for c in range(n_centroids)],
+            "cent_id int, c_emb array<double>",
+        ).select("cent_id", "c_emb", _norm(F.col("c_emb")).alias("cent_norm"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 16, centroids: DataFrame | None = None
+) -> DataFrame:
     """Assign each vector to its nearest centroid (coarse quantizer).
 
     Fully relational: cross join the broadcast centroid dim (C rows, no
@@ -175,8 +221,10 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
     over the C-times-expanded fact. All float math is left-fold
     sequential, bit-identical to the DuckDB oracle's list_sum — which is
     what makes the IVF path oracle-checkable end-to-end.
-    """
-    cent = _centroid_dim(emb, n_centroids)
+
+    ``centroids`` defaults to the seed-set dim (oracle-reproducible);
+    pass ``train_ivf_centroids(...)`` for the k-means variant."""
+    cent = _centroid_dim(emb, n_centroids) if centroids is None else centroids
     sim = _dot(F.col("embedding"), F.col("c_emb")) / F.col("cent_norm")
     scored = emb.crossJoin(cent).withColumn("sim", sim)
     # argmax: highest sim, ties to the smallest cent_id
@@ -192,6 +240,7 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
 def ivf_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5,
     n_centroids: int = 16, nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k probing only ``nprobe`` IVF buckets.
 
@@ -199,8 +248,8 @@ def ivf_topk(
     bucket assignment is one narrow pass + one partially-aggregated
     shuffle (see ivf_assign). Relational end-to-end → DuckDB-oracled.
     """
-    corpus = ivf_assign(emb, n_centroids)
-    cent = _centroid_dim(emb, n_centroids)
+    corpus = ivf_assign(emb, n_centroids, centroids=centroids)
+    cent = _centroid_dim(emb, n_centroids) if centroids is None else centroids
 
     # query probes: nprobe nearest centroids per query (queries are tiny
     # — a window over |Q| x C rows is free)
