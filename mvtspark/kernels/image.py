@@ -164,13 +164,16 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
     return _DCT32
 
 
+_PHASH_WEIGHTS = np.array([0.299, 0.587, 0.114])
+
+
 def phash64(img: np.ndarray) -> int:
     """64-bit DCT perceptual hash (public pHash algorithm).
 
     Grayscale → resize to 32x32 (area mean) → 2D DCT-II → 8x8 low-freq
     block (skip DC) → bit = coef > median. Returns signed int64.
     """
-    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    gray = img.astype(np.float64) @ _PHASH_WEIGHTS
     h, w = gray.shape
     # area-mean resize to 32x32 via index binning
     yi = (np.arange(h) * 32 // h).astype(np.int64)
@@ -190,6 +193,51 @@ def phash64(img: np.ndarray) -> int:
     for i, b in enumerate(bits):
         val |= np.uint64(b) << np.uint64(i)
     return int(val.view(np.int64))
+
+
+_PHASH_CHUNK = 128  # measured: full-stack float64 temps lose to the
+# cache-resident per-image loop (74 MB temp ≈ 6x slower); 128-image
+# chunks keep temporaries ~6 MB and run ~2x faster than per-image.
+
+
+def phash64_batch(stack: np.ndarray) -> np.ndarray:
+    """phash64 over a same-shape (n, h, w, 3) uint8 stack → (n,) int64.
+
+    Same arithmetic as phash64 with the area-mean binning re-expressed
+    as 0/1 selector matmuls (Sy @ gray @ Sx): each output cell's
+    partial sums associate differently from np.add.at's flat
+    sequential order, so bit-identity is EMPIRICAL, not structural —
+    tests/test_kernels_image.py::test_phash_batch_identical pins it
+    per-bit across the full synthetic shape universe (the frozen
+    goldens in the image_phash_pairs oracle are the second net).
+    The median is pure selection (63 odd) and the bit-pack is integer,
+    so the only drift surface is gray/resize/DCT float association.
+    """
+    n, h, w, _ = stack.shape
+    yi = np.arange(h) * 32 // h
+    xi = np.arange(w) * 32 // w
+    sy = np.zeros((32, h))
+    sy[yi, np.arange(h)] = 1.0
+    sx = np.zeros((w, 32))
+    sx[np.arange(w), xi] = 1.0
+    cnt = np.maximum(sy.sum(axis=1)[:, None] * sx.sum(axis=0)[None, :], 1.0)
+    m = _dct_matrix(32)
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(n, dtype=np.int64)
+    for s in range(0, n, _PHASH_CHUNK):
+        sub = stack[s : s + _PHASH_CHUNK]
+        k = sub.shape[0]
+        # reshape to 2-D before the length-3 contraction: the 4-D
+        # gufunc matvec path measured ~10x slower than one dgemv
+        gray = (sub.reshape(-1, 3).astype(np.float64) @ _PHASH_WEIGHTS
+                ).reshape(k, h, w)
+        block = (m @ ((sy @ gray @ sx) / cnt) @ m.T)[:, :8, :8].reshape(k, 64)
+        med = np.median(block[:, 1:], axis=1)
+        bits = (block > med[:, None]).astype(np.uint64)
+        out[s : s + k] = np.bitwise_or.reduce(
+            bits << shifts[None, :], axis=1
+        ).view(np.int64)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -222,31 +222,52 @@ def compute_phash(images: DataFrame) -> DataFrame:
     """Recompute the 64-bit perceptual hash FROM BYTES (decode → 32x32
     grayscale DCT → median-threshold; kernels/image.py::phash64) —
     the operator a pipeline runs on ingested images, as opposed to
-    trusting a stored phash column. Vectorized per batch; undecodable
-    rows carry the error instead of failing the job."""
+    trusting a stored phash column.
+
+    Whole-group stacked like channel_sums: each (w, h, fmt) group
+    decodes to one 4-D stack and hashes via phash64_batch (bit-equal
+    to per-image, pinned corpus-wide in tests + frozen oracle
+    goldens; ~2x on the synth mix). A group whose decode or reshape
+    fails falls back to per-image so undecodable rows carry the error
+    instead of failing the job — the documented contract."""
 
     def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from mvtspark.kernels.image import decode_image, phash64
+        from mvtspark.kernels.image import (
+            decode_image,
+            phash64,
+            phash64_batch,
+        )
 
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
+            n = len(pdf)
+            ph = np.zeros(n, dtype=np.int64)
+            errs = np.full(n, None, dtype=object)
+            bad = np.zeros(n, dtype=bool)
+            grp = pdf.groupby(["w", "h", "fmt"]).indices.items()
+            for (w, h, fmt), poss in grp:
+                w, h = int(w), int(h)
+                blobs = pdf["bytes"].iloc[poss]
                 try:
-                    img = decode_image(
-                        bytes(row.bytes), int(row.w), int(row.h), row.fmt
-                    )
-                    out.append(
-                        dict(image_id=row.image_id,
-                             phash=phash64(img),  # already signed int64
-                             error=None)
-                    )
-                except Exception as e:
-                    out.append(
-                        dict(image_id=row.image_id, phash=None, error=str(e))
-                    )
-            yield pd.DataFrame(out, columns=["image_id", "phash", "error"])
+                    ph[poss] = phash64_batch(_decode_stack(blobs, w, h, fmt))
+                except Exception:
+                    # isolate the offending row(s); the rest still hash
+                    for p, b in zip(poss, blobs):
+                        try:
+                            ph[p] = phash64(decode_image(bytes(b), w, h, fmt))
+                        except Exception as e:
+                            bad[p] = True
+                            errs[p] = str(e)
+            phs = ph.astype(object)
+            phs[bad] = None
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "phash": phs,
+                    "error": errs,
+                }
+            )
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         _ph, schema="image_id string, phash long, error string"
@@ -287,21 +308,24 @@ def _stacked_groups(pdf: pd.DataFrame):
     inflate for PNG."""
     import numpy as np
 
+    for (w, h, fmt), poss in pdf.groupby(["w", "h", "fmt"]).indices.items():
+        blobs = pdf["bytes"].iloc[poss]
+        yield np.asarray(poss), _decode_stack(blobs, int(w), int(h), fmt)
+
+
+def _decode_stack(blobs, w: int, h: int, fmt: str):
+    """Decode an iterable of same-shape payloads to one (n, h, w, 3)
+    uint8 stack; 'raw' is a single frombuffer+reshape over the
+    concatenated payloads, compressed formats inflate per blob."""
+    import numpy as np
+
     from mvtspark.kernels.image import decode_image
 
-    for (w, h, fmt), poss in pdf.groupby(["w", "h", "fmt"]).indices.items():
-        w, h = int(w), int(h)
-        blobs = pdf["bytes"].iloc[poss]
-        if fmt == "raw":
-            buf = b"".join(bytes(b) for b in blobs)
-            stack = np.frombuffer(buf, dtype=np.uint8).reshape(
-                len(poss), h, w, 3
-            )
-        else:
-            stack = np.stack(
-                [decode_image(bytes(b), w, h, fmt) for b in blobs]
-            )
-        yield np.asarray(poss), stack
+    if fmt == "raw":
+        blobs = list(blobs)
+        buf = b"".join(bytes(b) for b in blobs)
+        return np.frombuffer(buf, dtype=np.uint8).reshape(len(blobs), h, w, 3)
+    return np.stack([decode_image(bytes(b), w, h, fmt) for b in blobs])
 
 
 CHANNEL_SUMS_SCHEMA = (

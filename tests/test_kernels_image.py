@@ -83,6 +83,58 @@ def test_phash_properties():
     assert ham(h1, image.phash64(other)) > 10
 
 
+def test_phash_batch_identical():
+    """phash64_batch must be BIT-identical to the per-image phash64 —
+    the frozen goldens in the image_phash_pairs oracle were minted by
+    the per-image path. Pins every (w, h) in the synthetic shape
+    universe (16/32/48/64 on both axes), on both codecs, plus a chunk
+    boundary (>128 images in one group) so the chunked path's seams
+    are covered."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i in range(3000):  # 3000 ids: all 16 shapes, both fmts, >128/group
+        data, w, h, fmt = image.synth_image(i)
+        groups[(w, h)].append(image.decode_image(data, w, h, fmt))
+    assert len(groups) == 16
+    assert max(len(v) for v in groups.values()) > image._PHASH_CHUNK
+    for (w, h), ims in sorted(groups.items()):
+        stack = np.stack(ims)
+        ref = np.array([image.phash64(im) for im in stack], dtype=np.int64)
+        assert np.array_equal(image.phash64_batch(stack), ref), (w, h)
+
+
+def test_compute_phash_error_isolation(spark):
+    """A corrupt payload inside a (w, h, fmt) group must not poison the
+    group: the stacked fast path falls back per-image, the bad row
+    carries its error, every good row still hashes correctly."""
+    from mvtspark.kernels.image import decode_image, phash64, synth_image
+    from mvtspark.operators.multimodal import compute_phash
+    from mvtspark.sources.images import synth_images
+
+    base = synth_images(spark, 8).collect()
+    rows = [
+        (r.image_id, bytearray(r.bytes), r.w, r.h, r.fmt) for r in base
+    ]
+    # truncate one raw payload → group reshape fails → fallback path
+    bad_id = next(r[0] for r in rows if r[4] == "raw")
+    rows = [
+        (i, bytes(b[: len(b) // 2]) if i == bad_id else bytes(b), w, h, f)
+        for i, b, w, h, f in rows
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r.image_id: r for r in compute_phash(df).collect()}
+    assert got[bad_id].phash is None and got[bad_id].error
+    for r in base:
+        if r.image_id == bad_id:
+            continue
+        data, w, h, fmt = synth_image(int(r.image_id[3:]))
+        want = phash64(decode_image(data, w, h, fmt))
+        assert got[r.image_id].phash == want and got[r.image_id].error is None
+
+
 def test_synth_deterministic():
     b1, w1, h1, f1 = image.synth_image(12345)  # 12345 % 3 == 0 -> png
     b2, w2, h2, f2 = image.synth_image(12345)
