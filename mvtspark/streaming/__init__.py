@@ -2,6 +2,7 @@ from .pipeline import (
     file_pings_stream,
     file_points_stream,
     file_sessions_stream,
+    make_epoch_batch_writer,
     stream_encode_sink,
     stream_geofence_transitions,
     stream_running_tile_totals,
@@ -14,6 +15,7 @@ __all__ = [
     "file_points_stream",
     "stream_tile_counts",
     "stream_encode_sink",
+    "make_epoch_batch_writer",
     "stream_running_tile_totals",
     "stream_geofence_transitions",
     "file_sessions_stream",

@@ -28,6 +28,8 @@ production — same one-line switch as sources.checkpoint).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,23 +83,46 @@ def stream_tile_counts(
     )
 
 
-def stream_encode_sink(
-    points: DataFrame,
+def make_epoch_batch_writer(
     zoom: int,
     tiles_path: str,
     checkpoint_path: str,
     job_id: str = "stream_encode",
 ):
-    """foreachBatch sink: per micro-batch, run the batch tile pipeline
-    (assign → per-tile MVT encode) and append tiles + lineage.
+    """Build the EXACTLY-ONCE per-epoch batch function foreachBatch runs.
 
-    Returns the unstarted ``DataStreamWriter`` — caller picks trigger +
-    stream checkpoint location and calls ``.start()``.
+    Structured Streaming guarantees at-least-once delivery to
+    foreachBatch: after a crash the same (batch data, epoch_id) is
+    REPLAYED. Exactly-once therefore needs the writer to be idempotent
+    per epoch, which this one is by construction:
+
+    1. each epoch's tiles land in their own ``epoch=<id>/`` directory
+       written with mode("overwrite") — a replay of a half-written
+       epoch replaces the partial files instead of appending duplicates
+       (readers see the epoch as an ordinary partition-discovery
+       column, so ``spark.read.parquet(tiles_path)`` keeps working);
+    2. the lineage row (``stage = epoch=<id>``) is written LAST — it is
+       the commit marker; and
+    3. an epoch whose marker already exists returns without writing
+       anything, so a replay of a fully-committed epoch is a no-op
+       (no duplicate tiles AND no duplicate lineage/metrics rows).
+
+    Exposed separately from the stream wiring so tests can drive the
+    crash-replay matrix directly (tests/test_streaming.py).
     """
-    from ..sources.checkpoint import write_stage_checkpoint
+    from ..sources.checkpoint import read_checkpoint, write_stage_checkpoint
     from ..sources.tiles import encode_tiles
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
+        stage = f"epoch={epoch_id}"
+        committed = (
+            read_checkpoint(df.sparkSession, checkpoint_path)
+            .where((F.col("job_id") == job_id) & (F.col("stage") == stage))
+            .limit(1)
+            .count()
+        )
+        if committed:
+            return  # replay of a committed epoch: exactly-once no-op
         assigned = assign_tiles(df, zoom=zoom)
         feats = assigned.select(
             "zoom", "x", "y", F.lit(4096).alias("extent"),
@@ -112,14 +137,36 @@ def stream_encode_sink(
         )
         tiles = encode_tiles(feats, layer_name="images").cache()
         try:
-            tiles.write.mode("append").parquet(tiles_path)
+            tiles.write.mode("overwrite").parquet(
+                os.path.join(tiles_path, stage)
+            )
             write_stage_checkpoint(
                 tiles, checkpoint_path, job_id=job_id,
-                stage=f"epoch={epoch_id}", lineage=f"stream epoch {epoch_id}",
+                stage=stage, lineage=f"stream epoch {epoch_id}",
             )
         finally:
             tiles.unpersist()
 
+    return _batch
+
+
+def stream_encode_sink(
+    points: DataFrame,
+    zoom: int,
+    tiles_path: str,
+    checkpoint_path: str,
+    job_id: str = "stream_encode",
+):
+    """foreachBatch sink: per micro-batch, run the batch tile pipeline
+    (assign → per-tile MVT encode) and write tiles + lineage exactly
+    once per epoch (idempotent replay — see make_epoch_batch_writer).
+
+    Returns the unstarted ``DataStreamWriter`` — caller picks trigger +
+    stream checkpoint location and calls ``.start()``.
+    """
+    _batch = make_epoch_batch_writer(
+        zoom, tiles_path, checkpoint_path, job_id=job_id
+    )
     return points.writeStream.foreachBatch(_batch).outputMode("update")
 
 
