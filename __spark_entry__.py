@@ -2014,6 +2014,62 @@ def invalid_tile_suite(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def raster_passthrough(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature.Raster (tag 5) passthrough — the one proto field the
+    reference DECLARES but never decodes (Constants.cs:59-66, enum
+    description :122): 64 single-feature tiles carry a deterministic
+    binary raster payload next to real point geometry; the engine
+    decodes them via decode_tiles(raster=True) and emits the payload's
+    length + md5 plus the coexisting geometry. ORACLED: DuckDB rebuilds
+    the identical ASCII payload closed-form ('R' || zero-padded id ||
+    'x'*(id%57)) and recomputes md5/length — any byte slip in the tag-5
+    wire read or the nullable-binary surfacing fails the hash gate."""
+    from mvtspark.sources.tiles import decode_tiles
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mvtspark.kernels import geom as gk
+        from mvtspark.kernels import mvt as mk
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].tolist():
+                fid = int(k) + 1
+                f = mk.Feature(
+                    id=fid, geom_type=1,
+                    geometry=gk.encode_commands(
+                        np.array([fid * 31 % 4096]),
+                        np.array([fid * 17 % 4096]),
+                        np.array([0, 1]), 1,
+                    ),
+                    tags=np.array([0, 0], dtype=np.int64),
+                    raster=(b"R%08d" % fid) + b"x" * (fid % 57),
+                )
+                layer = mk.Layer(
+                    name="raster", version=2, keys=["k"],
+                    values=[(mk.V_INT, 1)], features=[f],
+                )
+                rows.append(
+                    dict(zoom=3, x=fid % 8, y=fid // 8 % 8,
+                         mvt=bytearray(mk.encode_tile([layer])))
+                )
+            yield pd.DataFrame(rows, columns=["zoom", "x", "y", "mvt"])
+
+    tiles = spark.range(64).mapInPandas(
+        _gen, schema="zoom int, x int, y int, mvt binary"
+    )
+    dec = decode_tiles(tiles, raster=True)
+    return dec.where(F.col("decode_error").isNull()).select(
+        "feature_id",
+        F.element_at("xs", 1).cast("long").alias("px"),
+        F.element_at("ys", 1).cast("long").alias("py"),
+        F.length("raster").cast("long").alias("raster_len"),
+        F.md5("raster").alias("raster_md5"),
+    )
+
+
 # ---------------------------------------------------------- multimodal ops
 
 def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -2366,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_chain": dedup_groups_chain,
         "streaming_session_windows": streaming_session_windows,
         "zonal_fence_stats": zonal_fence_stats,
+        "raster_passthrough": raster_passthrough,
         "range_join_px": range_join_px,
         "tile_pyramid_rollup": tile_pyramid_rollup,
         "xyz_cell_keys": xyz_cell_keys,
@@ -2812,6 +2869,15 @@ def oracle_sql() -> dict[str, str]:
                     list_transform(split(w, ''), c -> CAST(unicode(c) AS HUGEINT))),
                     (acc, c) -> (acc * {_TMUL} + c) % {u64}) END)"""
     return {
+        "raster_passthrough": """
+            SELECT CAST(fid AS BIGINT) AS feature_id,
+              CAST((fid * 31) % 4096 AS BIGINT) AS px,
+              CAST((fid * 17) % 4096 AS BIGINT) AS py,
+              CAST(9 + (fid % 57) AS BIGINT) AS raster_len,
+              md5('R' || lpad(CAST(fid AS VARCHAR), 8, '0')
+                  || repeat('x', fid % 57)) AS raster_md5
+            FROM (SELECT CAST(range + 1 AS BIGINT) AS fid FROM range(64))
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

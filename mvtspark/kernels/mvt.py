@@ -73,6 +73,10 @@ class Feature:
     geom_type: int = 0
     geometry: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint32))
     tags: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    # Feature.Raster (tag 5): the reference DECLARES it (Constants.cs:65,
+    # enum description Constants.cs:122) but never decodes it — we carry
+    # the payload through byte-exact so the proto surface is total.
+    raster: bytes | None = None
 
 
 @dataclass
@@ -170,6 +174,13 @@ def decode_feature(buf: memoryview, validate: bool, layer: Layer) -> Feature:
             vals, pos = _decode_packed_u32(buf, pos)
             f.geometry = vals.astype(np.uint32)
             has_geom = True
+        elif tag == F_RASTER and wt == pbf.WT_BYTES:
+            # only claim tag 5 when it is the length-delimited raster
+            # field — a mismatched wire type (invalid corpus class 4)
+            # must still fall through to skip()'s wire-type rejection
+            ln, pos = read_varint(buf, pos)
+            f.raster = bytes(buf[pos : pos + ln])
+            pos += ln
         else:
             pos = skip(buf, pos, wt)
     if validate:
@@ -301,6 +312,8 @@ def encode_feature(feat: Feature) -> bytes:
     out += pbf.ld_field(
         F_GEOMETRY, pbf.encode_varint_stream(feat.geometry.astype(np.uint64))
     )
+    if feat.raster is not None:
+        out += pbf.ld_field(F_RASTER, feat.raster)
     return bytes(out)
 
 

@@ -144,6 +144,7 @@ def decode_tiles(
     validate: bool = False,
     typed_props: bool = False,
     layers: set | frozenset | None = None,
+    raster: bool = False,
 ) -> DataFrame:
     """tiles (zoom,x,y,mvt) → one row per feature (lenient mode puts the
     error in ``decode_error`` instead of failing the job — engine-side
@@ -163,11 +164,17 @@ def decode_tiles(
     unselected layers never decode their dictionaries, features or
     geometry.
 
-    The plain lenient mode (no validate, no typed_props — the hot path)
-    is served by :func:`decode_tiles_arrow`, which skips both pandas
-    conversions entirely (verified row-identical; ~1.4x on the decode
-    bench, more as features/batch grow)."""
-    if not validate and not typed_props:
+    ``raster=True`` appends the Feature.Raster (tag 5) payload as a
+    nullable ``raster binary`` column — the field the reference declares
+    but never decodes (Constants.cs:59-66); opt-in like ``typed_props``
+    so the hot path pays nothing, and routed through the per-tile kernel
+    (raster tiles are rare by construction).
+
+    The plain lenient mode (no validate, no typed_props, no raster —
+    the hot path) is served by :func:`decode_tiles_arrow`, which skips
+    both pandas conversions entirely (verified row-identical; ~1.4x on
+    the decode bench, more as features/batch grow)."""
+    if not validate and not typed_props and not raster:
         return decode_tiles_arrow(tiles, layers=layers)
     lf = frozenset(layers) if layers is not None else None
 
@@ -187,19 +194,21 @@ def decode_tiles(
         ]
         if typed_props:
             cols = cols + ["props_t"]
+        if raster:
+            cols = cols + ["raster"]
         for pdf in batches:
-            if validate:
-                # strict mode: per-tile kernel with the full check suite
+            if validate or raster:
+                # per-tile kernel: strict check suite and/or tag-5 payload
                 out: list[dict] = []
                 for zoom, x, y, blob in zip(pdf["zoom"], pdf["x"], pdf["y"], pdf["mvt"]):
                     base = dict(zoom=int(zoom), x=int(x), y=int(y))
                     try:
-                        layers = mk.decode_tile(bytes(blob), validate=True)
+                        layers = mk.decode_tile(bytes(blob), validate=validate)
                     except Exception as e:
                         out.append(dict(base, layer=None, extent=None,
                                         feature_id=None, geom_type=None,
                                         part_offsets=None, xs=None, ys=None,
-                                        props=None, props_t=None,
+                                        props=None, props_t=None, raster=None,
                                         decode_error=str(e)))
                         continue
                     for lname, layer in layers.items():
@@ -223,7 +232,8 @@ def decode_tiles(
                                 feature_id=int(f.id), geom_type=int(f.geom_type),
                                 part_offsets=off.astype(np.int32), xs=xs, ys=ys,
                                 props=json.dumps(layer.properties(f), default=str),
-                                props_t=pt, decode_error=None))
+                                props_t=pt, raster=f.raster,
+                                decode_error=None))
                 yield pd.DataFrame(out, columns=cols)
                 continue
 
@@ -273,6 +283,8 @@ def decode_tiles(
             yield out_pdf[cols]
 
     schema = FEATURES_SCHEMA + (", " + PROPS_T_FIELD if typed_props else "")
+    if raster:
+        schema += ", raster binary"
     return tiles.mapInPandas(_decode, schema=schema)
 
 

@@ -202,3 +202,73 @@ def test_full_tile_roundtrip_multifeature():
         assert xs[0] == xs[-1] and ys[0] == ys[-1]  # rings closed
         re = geom.encode_commands(xs, ys, off, f.geom_type)
         assert re.tolist() == f.geometry.tolist()
+
+
+def test_raster_tag5_passthrough_byte_exact():
+    """Feature.Raster (tag 5) — declared but never decoded by the
+    reference (Constants.cs:65, TestPbfReader.cs:39) — round-trips
+    byte-exact through our codec, coexists with geometry/tags, and an
+    absent field stays None. Wire golden: the raster field is a plain
+    length-delimited blob (key 0x2a = tag 5 << 3 | WT 2)."""
+    payload = bytes(range(256)) * 3  # binary, non-UTF8, length 768
+    feats = [
+        mvt.Feature(
+            id=1, geom_type=1,
+            geometry=geom.encode_commands(
+                np.array([9]), np.array([9]), np.array([0, 1]), 1
+            ),
+            tags=np.array([0, 0], dtype=np.int64),
+            raster=payload,
+        ),
+        mvt.Feature(  # no raster → None after decode
+            id=2, geom_type=1,
+            geometry=geom.encode_commands(
+                np.array([1]), np.array([2]), np.array([0, 1]), 1
+            ),
+            tags=np.array([0, 0], dtype=np.int64),
+        ),
+    ]
+    layer = mvt.Layer(
+        name="r", version=2, keys=["k"], values=[(mvt.V_INT, 7)],
+        features=feats,
+    )
+    data1 = mvt.encode_tile([layer])
+    # wire-level golden: key byte for tag 5 / wiretype 2, then varint len
+    assert bytes([0x2A]) + pbf.encode_varint_stream(
+        np.array([len(payload)], dtype=np.uint64)
+    ) + payload in data1
+    dec = mvt.decode_tile(data1, validate=True)
+    f1, f2 = dec["r"].features
+    assert f1.raster == payload and f2.raster is None
+    assert mvt.encode_tile(list(dec.values())) == data1  # byte-exact
+
+
+def test_raster_column_in_decode_tiles(spark):
+    """decode_tiles(raster=True) surfaces the tag-5 payload as a
+    nullable binary column; the default path's schema is unchanged."""
+    import pandas as pd
+
+    from mvtspark.sources.tiles import decode_tiles
+
+    def mk_tile(fid, with_raster):
+        f = mvt.Feature(
+            id=fid, geom_type=1,
+            geometry=geom.encode_commands(
+                np.array([fid]), np.array([fid]), np.array([0, 1]), 1
+            ),
+            tags=np.array([0, 0], dtype=np.int64),
+            raster=(b"RR%d" % fid) * fid if with_raster else None,
+        )
+        layer = mvt.Layer(name="r", version=2, keys=["k"],
+                          values=[(mvt.V_INT, 1)], features=[f])
+        return mvt.encode_tile([layer])
+
+    rows = [(0, i, 0, mk_tile(i, i % 2 == 1)) for i in range(1, 5)]
+    tiles = spark.createDataFrame(
+        rows, "zoom int, x int, y int, mvt binary"
+    )
+    dec = decode_tiles(tiles, raster=True).orderBy("x").collect()
+    assert [r.raster for r in dec] == [
+        b"RR1" * 1, None, b"RR3" * 3, None
+    ]
+    assert "raster" not in decode_tiles(tiles).columns  # default unchanged
