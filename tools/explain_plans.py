@@ -38,6 +38,9 @@ AUDITS = {
     "ann_topk": ["MapInPandas", "WindowGroupLimit"],
     "ann_topk_ivf": ["BroadcastHashJoin", "Aggregate"],
     "range_join_px": ["BroadcastNestedLoopJoin"],
+    # tag-5 passthrough rides the per-tile kernel (opt-in pandas path);
+    # md5/length stay codegen-side above the single MapInPandas decode
+    "raster_passthrough": ["MapInPandas", "codegen id"],
     "asof_join_clicks": ["Window", "Sort"],
     "geojson_points": ["codegen id"],
     "frame_sample": ["MapInPandas"],
