@@ -2400,6 +2400,102 @@ def offset_convex_polygons(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact repeated-substring detection (operators/spans.py) over the
+    documents corpus: every 8-token window keyed by md5, spans recurring
+    in >= 2 distinct docs reported with counts + the canonical first
+    occurrence. Pure whole-stage codegen span generation (sequence →
+    slice → concat_ws → md5 → explode), ONE aggregation shuffle with
+    map-side partials — the published dedup-substrings recipe at its
+    10^12-doc shape. ORACLED: DuckDB regenerates every window and its
+    md5 from the same tokenization and replays the aggregation."""
+    from mvtspark.operators.spans import repeated_spans as _rs
+
+    return _rs(_t(spark, sf, "documents"), window=8, min_docs=2)
+
+
+def span_dedup_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplication profile (operators/spans.py): share of a
+    doc's 8-token windows that recur elsewhere in the corpus — the
+    boilerplate score a cleaning pass thresholds on. The duplicated-span
+    set is the SMALL broadcast side; the fact table shuffles once for
+    its own per-doc count. ORACLED end-to-end in DuckDB."""
+    from mvtspark.operators.spans import span_dedup_stats
+
+    return span_dedup_stats(_t(spark, sf, "documents"), window=8, min_docs=2)
+
+
+def incremental_tile_rebuild(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC × tiling (operators/incremental.py): a deterministic change
+    batch over the event geotags (every 13th id deletes, every
+    remaining 7th moves to a second closed-form position, every 17th
+    inserts there), dirty (zoom, x, y) tiles at zoom 6 plus 2 ancestor
+    levels, and the POST-change point count recomputed for exactly the
+    dirty set (0 for emptied tiles) — changes-bounded work, never a
+    full-pyramid rebuild. The delta path (fact table never scanned) is
+    pinned equal to this recompute in tests/test_incremental.py.
+    ORACLED: DuckDB replays change classification, mercator tiling,
+    halving ancestors, and the left-join counts."""
+    from mvtspark.operators.incremental import rebuild_dirty_counts
+    from mvtspark.operators.spatial import assign_tiles
+
+    e = F.col("event_id")
+    old_pts = _event_points(spark, sf)
+    new_pts = _t(spark, sf, "events").select(
+        "event_id",
+        (((e * 3) % 3600) / 10.0 - 179.947).alias("lng"),
+        (((e * 11) % 1600) / 10.0 - 79.947).alias("lat"),
+    )
+    old_t = assign_tiles(old_pts, zoom=6).select("event_id", "x", "y")
+    new_t = assign_tiles(new_pts, zoom=6).select(
+        "event_id", F.col("x").alias("nx"), F.col("y").alias("ny")
+    )
+    is_del = e % 13 == 0
+    is_move = (e % 13 != 0) & (e % 7 == 0)
+    is_ins = e % 17 == 0
+    j = old_t.join(new_t, "event_id")
+    changes = (
+        j.where(is_del).select(
+            F.col("x").alias("old_x"), F.col("y").alias("old_y"),
+            F.lit(None).cast("int").alias("new_x"),
+            F.lit(None).cast("int").alias("new_y"),
+        )
+        .unionAll(j.where(is_move).select(
+            F.col("x").alias("old_x"), F.col("y").alias("old_y"),
+            F.col("nx").alias("new_x"), F.col("ny").alias("new_y"),
+        ))
+        .unionAll(j.where(is_ins).select(
+            F.lit(None).cast("int").alias("old_x"),
+            F.lit(None).cast("int").alias("old_y"),
+            F.col("nx").alias("new_x"), F.col("ny").alias("new_y"),
+        ))
+    )
+    pts_after = (
+        j.where(~is_del & ~is_move).select("x", "y")
+        .unionAll(j.where(is_move).select(
+            F.col("nx").alias("x"), F.col("ny").alias("y")))
+        .unionAll(j.where(is_ins).select(
+            F.col("nx").alias("x"), F.col("ny").alias("y")))
+    )
+    return rebuild_dirty_counts(pts_after, changes, zoom=6, levels=3)
+
+
+def adaptive_cover_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Adaptive quadtree cover (operators/adaptive.py) of the event
+    geotags: zoom-3 cells split while they hold > 150 points, down to
+    zoom 6 — dense cells go deep, sparse stay coarse, one rollup
+    shuffle computes every level's counts. ORACLED: DuckDB rebuilds the
+    per-level counts by halving and replays the node/leaf recursion as
+    a fixed CTE chain."""
+    from mvtspark.operators.adaptive import adaptive_cell_cover
+    from mvtspark.operators.spatial import assign_tiles
+
+    pts = assign_tiles(_event_points(spark, sf), zoom=6)
+    return adaptive_cell_cover(
+        pts, base_zoom=3, max_zoom=6, max_count=150
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2423,6 +2519,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_windows": streaming_session_windows,
         "zonal_fence_stats": zonal_fence_stats,
         "raster_passthrough": raster_passthrough,
+        "repeated_spans": repeated_spans,
+        "span_dedup_profile": span_dedup_profile,
+        "incremental_tile_rebuild": incremental_tile_rebuild,
+        "adaptive_cover_events": adaptive_cover_events,
         "range_join_px": range_join_px,
         "tile_pyramid_rollup": tile_pyramid_rollup,
         "xyz_cell_keys": xyz_cell_keys,
@@ -2868,7 +2968,128 @@ def oracle_sql() -> dict[str, str]:
                   list_reduce(list_prepend(CAST({_TSEED} AS HUGEINT),
                     list_transform(split(w, ''), c -> CAST(unicode(c) AS HUGEINT))),
                     (acc, c) -> (acc * {_TMUL} + c) % {u64}) END)"""
+    # repeated-span CTEs shared by both span oracles (operators/spans.py
+    # tokenization = trim/lower/whitespace-split, 8-token windows, md5)
+    _SPAN_BASE = """
+        toks AS (SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        spans AS (
+          SELECT doc_id, i AS pos,
+            md5(array_to_string(t[i : i+7], ' ')) AS span_key
+          FROM toks, unnest(generate_series(1, len(t)-7)) AS u(i)
+          WHERE len(t) >= 8)
+    """
+
+    # incremental rebuild: change classification + dirty set + counts
+    _INC_LEVELS = 3
+    _inc_dirty = " UNION ALL ".join(
+        f"SELECT {6 - l} AS zoom, (x >> {l}) AS x, (y >> {l}) AS y FROM locs"
+        for l in range(_INC_LEVELS)
+    )
+    _inc_counts = " UNION ALL ".join(
+        f"SELECT {6 - l} AS zoom, (x >> {l}) AS x, (y >> {l}) AS y"
+        " FROM after_t"
+        for l in range(_INC_LEVELS)
+    )
+
+    # adaptive cover: counts per level by halving + node/leaf recursion
+    _AD_BASE, _AD_MAX, _AD_K = 3, 6, 150
+    _ad_cte = [
+        "t AS (SELECT "
+        f"CAST(GREATEST(0, LEAST(63, FLOOR({gx6} / 4096))) AS INT) AS x, "
+        f"CAST(GREATEST(0, LEAST(63, FLOOR({gy6} / 4096))) AS INT) AS y "
+        "FROM pts)",
+        f"c{_AD_MAX} AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM t GROUP BY 1, 2)",
+    ]
+    for z in range(_AD_MAX - 1, _AD_BASE - 1, -1):
+        _ad_cte.append(
+            f"c{z} AS (SELECT (x >> 1) AS x, (y >> 1) AS y, "
+            f"CAST(SUM(n) AS BIGINT) AS n FROM c{z + 1} GROUP BY 1, 2)"
+        )
+    _ad_cte.append(f"n{_AD_BASE} AS (SELECT * FROM c{_AD_BASE})")
+    for z in range(_AD_BASE, _AD_MAX):
+        _ad_cte.append(
+            f"n{z + 1} AS (SELECT c.* FROM c{z + 1} c "
+            f"JOIN n{z} p ON (c.x >> 1) = p.x AND (c.y >> 1) = p.y "
+            f"WHERE p.n > {_AD_K})"
+        )
+    _ad_leaves = " UNION ALL ".join(
+        [
+            f"SELECT {z} AS zoom, x, y, n AS n_points FROM n{z} "
+            f"WHERE n <= {_AD_K}"
+            for z in range(_AD_BASE, _AD_MAX)
+        ]
+        + [f"SELECT {_AD_MAX} AS zoom, x, y, n AS n_points FROM n{_AD_MAX}"]
+    )
+    _ad_sql = (
+        f"WITH pts AS ({_EVENT_PTS}), "
+        + ", ".join(_ad_cte)
+        + f" SELECT CAST(zoom AS INT) AS zoom, x, y, n_points"
+        f" FROM ({_ad_leaves})"
+    )
+
     return {
+        "repeated_spans": f"""
+            WITH {_SPAN_BASE},
+            agg AS (SELECT span_key,
+                CAST(COUNT(*) AS BIGINT) AS n_occ,
+                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                MIN(doc_id * 1000000 + pos) AS loc
+              FROM spans GROUP BY 1)
+            SELECT span_key, n_occ, n_docs,
+              CAST(loc // 1000000 AS BIGINT) AS first_doc,
+              CAST(loc % 1000000 AS BIGINT) AS first_pos
+            FROM agg WHERE n_docs >= 2
+        """,
+        "span_dedup_profile": f"""
+            WITH {_SPAN_BASE},
+            dup AS (SELECT span_key FROM spans
+                    GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+            per AS (SELECT s.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_spans,
+                CAST(COUNT(d.span_key) AS BIGINT) AS n_dup_spans
+              FROM spans s LEFT JOIN dup d USING (span_key)
+              GROUP BY 1)
+            SELECT doc_id, n_spans, n_dup_spans,
+              ROUND(n_dup_spans / CAST(n_spans AS DOUBLE), 6) AS dup_ratio
+            FROM per
+        """,
+        "incremental_tile_rebuild": f"""
+            WITH old_pts AS ({_EVENT_PTS}),
+            new_pts AS (SELECT event_id,
+                ((event_id*3) % 3600)/10.0 - 179.947 AS lng,
+                ((event_id*11) % 1600)/10.0 - 79.947 AS lat FROM events),
+            old_t AS (SELECT event_id,
+              CAST(GREATEST(0, LEAST(63, FLOOR({gx6} / 4096))) AS INT) AS x,
+              CAST(GREATEST(0, LEAST(63, FLOOR({gy6} / 4096))) AS INT) AS y
+              FROM old_pts),
+            new_t AS (SELECT event_id,
+              CAST(GREATEST(0, LEAST(63, FLOOR({gx6} / 4096))) AS INT) AS x,
+              CAST(GREATEST(0, LEAST(63, FLOOR({gy6} / 4096))) AS INT) AS y
+              FROM new_pts),
+            locs AS (
+              SELECT x, y FROM old_t WHERE event_id % 13 = 0
+              UNION ALL SELECT x, y FROM old_t
+                WHERE event_id % 13 <> 0 AND event_id % 7 = 0
+              UNION ALL SELECT x, y FROM new_t
+                WHERE event_id % 13 <> 0 AND event_id % 7 = 0
+              UNION ALL SELECT x, y FROM new_t WHERE event_id % 17 = 0),
+            dirty AS (SELECT DISTINCT * FROM ({_inc_dirty})),
+            after_t AS (
+              SELECT x, y FROM old_t
+                WHERE event_id % 13 <> 0 AND event_id % 7 <> 0
+              UNION ALL SELECT x, y FROM new_t
+                WHERE event_id % 13 <> 0 AND event_id % 7 = 0
+              UNION ALL SELECT x, y FROM new_t WHERE event_id % 17 = 0),
+            cnt AS (SELECT zoom, x, y, CAST(COUNT(*) AS BIGINT) AS n_points
+                    FROM ({_inc_counts}) GROUP BY 1, 2, 3)
+            SELECT CAST(d.zoom AS INT) AS zoom, d.x, d.y,
+              CAST(COALESCE(c.n_points, 0) AS BIGINT) AS n_points
+            FROM dirty d LEFT JOIN cnt c USING (zoom, x, y)
+        """,
+        "adaptive_cover_events": _ad_sql,
         "raster_passthrough": """
             SELECT CAST(fid AS BIGINT) AS feature_id,
               CAST((fid * 31) % 4096 AS BIGINT) AS px,

@@ -563,6 +563,13 @@ def main() -> None:
             "scaling_efficiency": round(eff_2_8, 3),
             "scaling_efficiency_8_32": round(eff_8_32, 3),
             "mp_control": ctrl,
+            # engine efficiency normalized by what the box itself
+            # scaled to during this run (Spark-free control): separates
+            # the plan's scaling from shared-host tenancy, which hits
+            # 8 busy cores far harder than 2.
+            "host_normalized_efficiency": round(
+                eff_2_8 / (ctrl["speedup_2_to_8"] / 4), 3
+            ),
         }
         _write_bench_md(report)
         print(json.dumps(report))
@@ -648,12 +655,17 @@ def _mp_control() -> dict:
     import multiprocessing as mp
 
     out = {}
-    for procs in (8, 32):
+    for procs in (2, 8, 32):
         per = 64_000_000 // procs
         with mp.Pool(procs) as pool:
             t0 = time.time()
             pool.map(_mp_burn_task, [per] * procs)
             out[f"procs{procs}_sec"] = round(time.time() - t0, 2)
+    # the 2->8 control bounds what ANY engine can show for the primary
+    # pair on this box TODAY (neighbor tenancy hits 8 procs harder than
+    # 2, which can always find idle cores) — cited next to the Spark
+    # efficiency so a host-limited round is diagnosable from the JSON.
+    out["speedup_2_to_8"] = round(out["procs2_sec"] / out["procs8_sec"], 2)
     out["speedup_8_to_32"] = round(out["procs8_sec"] / out["procs32_sec"], 2)
     return out
 
@@ -697,6 +709,16 @@ two-stage per-tile aggregation (A7, partition-id salt) → count action.
 
 **Scaling efficiency N→4N (local[2] → local[8]): {report['scaling_efficiency']}**
 (target ≥ 0.8 per BASELINE.json north rule; efficiency = (T_N / T_4N) / 4).
+
+Primary-pair hardware control (same numpy ALU burn, raw
+multiprocessing, no Spark, measured inside this run): 2 procs =
+{ctrl['procs2_sec']}s, 8 procs = {ctrl['procs8_sec']}s —
+**{ctrl['speedup_2_to_8']}x from 4x procs**, i.e. the box itself
+offered only {ctrl['speedup_2_to_8']}/4 = {round(ctrl['speedup_2_to_8'] / 4, 3)}
+of ideal 2→8 scaling during this window (shared-host neighbors hit 8
+busy cores much harder than 2, which always find idle cores).
+**Host-normalized engine efficiency:
+{report['host_normalized_efficiency']}** = measured / control.
 
 Secondary pair local[8] → local[32]: {report['scaling_efficiency_8_32']} — see analysis.
 

@@ -41,6 +41,18 @@ AUDITS = {
     # tag-5 passthrough rides the per-tile kernel (opt-in pandas path);
     # md5/length stay codegen-side above the single MapInPandas decode
     "raster_passthrough": ["MapInPandas", "codegen id"],
+    # span generation must be pure codegen (no Python) with map-side
+    # partial aggregation below the one span-key exchange
+    "repeated_spans": ["Generate", "HashAggregate", "codegen id"],
+    # the duplicated-span set is the broadcast side; fact spans join it
+    # without a shuffle of their own
+    "span_dedup_profile": ["BroadcastHashJoin", "LeftSemi"],
+    # dirty set is the broadcast side of the semi-join that restricts
+    # the fact rows before any aggregation
+    "incremental_tile_rebuild": ["BroadcastHashJoin", "LeftSemi"],
+    # tree walk over checkpointed counts: broadcast semi-joins only
+    # (the single rollup exchange lives in the checkpoint job)
+    "adaptive_cover_events": ["BroadcastHashJoin", "ExistingRDD"],
     "asof_join_clicks": ["Window", "Sort"],
     "geojson_points": ["codegen id"],
     "frame_sample": ["MapInPandas"],
