@@ -191,7 +191,20 @@ def train_ivf_centroids(
         key=lambda r: r.vec_id,
     )
     X = np.array([r.embedding for r in rows], dtype=np.float64)
-    Xn = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+    if len(X) < n_centroids:
+        raise ValueError(
+            f"k-means sample has {len(X)} vectors < n_centroids="
+            f"{n_centroids}; lower sample_mod"
+        )
+    norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    keep = norms[:, 0] > 0.0  # a zero vector has no direction: it would
+    X, norms = X[keep], norms[keep]  # poison its centroid with NaNs
+    if len(X) < n_centroids:
+        raise ValueError(
+            f"k-means sample has {len(X)} nonzero vectors < n_centroids="
+            f"{n_centroids}"
+        )
+    Xn = X / norms
     C = Xn[:n_centroids].copy()
     for _ in range(iters):
         assign = (Xn @ C.T).argmax(axis=1)
@@ -199,7 +212,9 @@ def train_ivf_centroids(
             pts = Xn[assign == c]
             if len(pts):
                 mean = pts.mean(axis=0)
-                C[c] = mean / np.sqrt((mean * mean).sum())
+                nm = np.sqrt((mean * mean).sum())
+                if nm > 0.0:  # perfectly-cancelling cluster: keep old
+                    C[c] = mean / nm
     spark = emb.sparkSession
     return F.broadcast(
         spark.createDataFrame(

@@ -245,17 +245,23 @@ def compute_phash(images: DataFrame) -> DataFrame:
             ph = np.zeros(n, dtype=np.int64)
             errs = np.full(n, None, dtype=object)
             bad = np.zeros(n, dtype=bool)
-            grp = pdf.groupby(["w", "h", "fmt"]).indices.items()
+            # dropna=False: a row with null w/h/fmt must surface as an
+            # error row, not silently vanish from the groupby (default
+            # groupby drops NaN keys → phash=0/error=None regression)
+            grp = pdf.groupby(["w", "h", "fmt"], dropna=False).indices.items()
             for (w, h, fmt), poss in grp:
-                w, h = int(w), int(h)
                 blobs = pdf["bytes"].iloc[poss]
                 try:
-                    ph[poss] = phash64_batch(_decode_stack(blobs, w, h, fmt))
+                    ph[poss] = phash64_batch(
+                        _decode_stack(blobs, int(w), int(h), fmt)
+                    )
                 except Exception:
                     # isolate the offending row(s); the rest still hash
                     for p, b in zip(poss, blobs):
                         try:
-                            ph[p] = phash64(decode_image(bytes(b), w, h, fmt))
+                            ph[p] = phash64(
+                                decode_image(bytes(b), int(w), int(h), fmt)
+                            )
                         except Exception as e:
                             bad[p] = True
                             errs[p] = str(e)

@@ -85,6 +85,11 @@ def train_pq_codebooks(
         key=lambda r: r.vec_id,
     )
     X = np.array([r.embedding for r in rows], dtype=np.float64)
+    if len(X) < k_codes:
+        raise ValueError(
+            f"PQ training sample has {len(X)} vectors < k_codes="
+            f"{k_codes}; lower sample_mod"
+        )
     sub = dim // m
     cb = np.empty((k_codes, dim), dtype=np.float64)
     for j in range(m):

@@ -201,7 +201,10 @@ def zonal_stats(
     tagged = geofence_join(cells, fences, x_col=x_col, y_col=y_col)
     # preserve the value column's type: float rasters ("mean rainfall")
     # must NOT be truncated to long; integral inputs keep the stable
-    # BIGINT totals the oracles hash against
+    # BIGINT totals the oracles hash against. DECIMAL inputs are
+    # deliberately NOT in this tuple: they stay decimal (SUM widens the
+    # precision, exact) — casting decimal(p>18,0) to long could
+    # overflow, and preserving the caller's exact type IS the contract.
     integral = dict(cells.dtypes).get(value_col) in (
         "tinyint", "smallint", "int", "bigint",
     )

@@ -19,10 +19,63 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-# pos packs into doc_id*1e6+pos for an order-exact (doc, pos) argmin that
-# both engines compute on plain BIGINTs — bounded by the tokenizer, and
-# asserted at runtime so a pathological document fails loudly.
+# pos packs into doc_id*1e6+pos for an order-exact (doc, pos) argmin
+# computed on plain BIGINTs by both engines — bounded by an assert_true
+# guard in the plan, so a pathological >1M-token document fails the job
+# loudly instead of corrupting the packed key.
 _MAX_POS = 1_000_000
+
+
+def _span_keys(
+    docs: DataFrame, window: int, text_col: str, with_pos: bool
+) -> DataFrame:
+    """(doc_id, [pos,] span_key) — one row per W-token window, pure
+    codegen. Shared by both public ops so the tokenization and hashing
+    can never drift between them. Tokenization is the engine-wide
+    whitespace rule (operators/text.py) over lowercased text; ``pos``
+    is the 1-based token index."""
+    t = tokens(F.lower(F.col(text_col)))
+    # loud scale guard rides the filter (a Filter condition is never
+    # pruned, unlike an unused projected column): the packed (doc, pos)
+    # argmin below needs pos < _MAX_POS; assert_true returns NULL on
+    # success and raises the job otherwise.
+    guard = F.assert_true(
+        F.size("t") < _MAX_POS,
+        f"document exceeds {_MAX_POS} tokens; packed span positions"
+        " would corrupt",
+    ).isNull()
+    base = docs.select(F.col("doc_id"), t.alias("t")).where(
+        (F.size("t") >= window) & guard
+    )
+    # sequence() descends when stop < start — the >= window filter above
+    # is what makes (size - window + 1) a valid ascending stop.
+    starts = F.sequence(F.lit(1), F.size("t") - window + 1)
+    if with_pos:
+        return base.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("t", i, window))
+                        ).alias("span_key"),
+                    ),
+                )
+            ).alias("s"),
+        ).select(
+            "doc_id", F.col("s.pos").alias("pos"), F.col("s.span_key")
+        )
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, window))),
+            )
+        ).alias("span_key"),
+    )
 
 
 def repeated_spans(
@@ -36,29 +89,8 @@ def repeated_spans(
 
     ``first_doc``/``first_pos`` name the canonical occurrence (lowest
     (doc_id, pos)) so a downstream cut pass can KEEP exactly one copy.
-    Tokenization is the engine-wide whitespace rule (operators/text.py)
-    over lowercased text; ``pos`` is the 1-based token index.
     """
-    t = tokens(F.lower(F.col(text_col)))
-    base = docs.select(F.col("doc_id"), t.alias("t")).where(
-        F.size("t") >= window
-    )
-    # sequence() descends when stop < start — the >= window filter above
-    # is what makes (size - window + 1) a valid ascending stop.
-    spans = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - window + 1),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.md5(
-                        F.concat_ws(" ", F.slice("t", i, window))
-                    ).alias("span_key"),
-                ),
-            )
-        ).alias("s"),
-    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.span_key"))
+    spans = _span_keys(docs, window, text_col, with_pos=True)
     agg = (
         spans.groupBy("span_key")
         .agg(
@@ -70,13 +102,15 @@ def repeated_spans(
         )
         .where(F.col("n_docs") >= min_docs)
     )
-    loc = F.col("_first_loc")
     return agg.select(
         "span_key",
         F.col("n_occ").cast("long").alias("n_occ"),
         F.col("n_docs").cast("long").alias("n_docs"),
-        F.floor(loc / _MAX_POS).cast("long").alias("first_doc"),
-        (loc % _MAX_POS).cast("long").alias("first_pos"),
+        # integer division (div), NOT floor(double /): the packed key
+        # exceeds 2^53 once doc_id ~ 1e10 and a double quotient could
+        # round across the boundary
+        F.expr(f"_first_loc div {_MAX_POS}").cast("long").alias("first_doc"),
+        (F.col("_first_loc") % _MAX_POS).cast("long").alias("first_pos"),
     )
 
 
@@ -86,30 +120,21 @@ def span_dedup_stats(
     min_docs: int = 2,
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-document duplication profile from :func:`repeated_spans`:
+    """Per-document duplication profile from the repeated-span set:
     (doc_id, n_spans, n_dup_spans, dup_ratio) — the score a pipeline
     thresholds to drop boilerplate-heavy documents.
 
-    The duplicated-span set rejoins the exploded spans on span_key; at
-    scale that set is the SMALL side (bounded by distinct recurring
-    spans), so the join is broadcast-able and the fact table shuffles
-    only for its own per-doc aggregation.
+    One span generation pass feeds BOTH sides: the duplicated-span set
+    is a small re-aggregation of the exploded spans (bounded by distinct
+    recurring keys — the broadcast side), and the same spans aggregate
+    per doc; the fact table is tokenized exactly once per branch of the
+    self-join, never re-deriving the expression (shared _span_keys).
     """
-    t = tokens(F.lower(F.col(text_col)))
-    base = docs.select(F.col("doc_id"), t.alias("t")).where(
-        F.size("t") >= window
-    )
-    spans = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - window + 1),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, window))),
-            )
-        ).alias("span_key"),
-    )
+    spans = _span_keys(docs, window, text_col, with_pos=False)
     dup = (
-        repeated_spans(docs, window, min_docs, text_col)
+        spans.groupBy("span_key")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
         .select("span_key")
     )
     marked = spans.join(F.broadcast(dup), "span_key", "left_semi")

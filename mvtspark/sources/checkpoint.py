@@ -54,9 +54,21 @@ def write_stage_checkpoint(
 
 
 def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
-    if not os.path.exists(path):
+    """Empty-on-absent read of the lineage table.
+
+    Storage-agnostic: a local-only ``os.path.exists`` probe would make
+    every absence check silently succeed on object-store paths
+    (s3a://…), voiding the committed-epoch guard in the streaming sink.
+    The local fast path stays (cheap, no JVM call) but the fallback is
+    catch-path-missing, which any Hadoop filesystem reports."""
+    if "://" not in path and not os.path.exists(path):
         return spark.createDataFrame([], CHECKPOINT_SCHEMA)
-    return spark.read.parquet(path)
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # AnalysisException PATH_NOT_FOUND
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        raise
 
 
 def pending_work(

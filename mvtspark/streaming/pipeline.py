@@ -107,6 +107,11 @@ def make_epoch_batch_writer(
        anything, so a replay of a fully-committed epoch is a no-op
        (no duplicate tiles AND no duplicate lineage/metrics rows).
 
+    The committed check reads the lineage table with job_id/stage
+    pushed into the parquet scan — bounded by epochs × partition-units
+    (metrics rows, not data), and in the Iceberg production shape the
+    same probe is a metadata-only lookup.
+
     Exposed separately from the stream wiring so tests can drive the
     crash-replay matrix directly (tests/test_streaming.py).
     """

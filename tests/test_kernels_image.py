@@ -122,11 +122,16 @@ def test_compute_phash_error_isolation(spark):
         (i, bytes(b[: len(b) // 2]) if i == bad_id else bytes(b), w, h, f)
         for i, b, w, h, f in rows
     ]
+    # a null-metadata row must surface as an error, not vanish from the
+    # groupby (pandas drops NaN group keys by default)
+    rows.append(("imgNULLMETA", b"\x00" * 12, None, 2, "raw"))
     df = spark.createDataFrame(
         rows, "image_id string, bytes binary, w int, h int, fmt string"
     )
     got = {r.image_id: r for r in compute_phash(df).collect()}
+    assert len(got) == len(rows)
     assert got[bad_id].phash is None and got[bad_id].error
+    assert got["imgNULLMETA"].phash is None and got["imgNULLMETA"].error
     for r in base:
         if r.image_id == bad_id:
             continue

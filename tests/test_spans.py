@@ -60,6 +60,20 @@ def test_span_dedup_stats_profile(docs):
         assert 0 <= r.n_dup_spans <= r.n_spans
 
 
+def test_overlong_document_fails_loudly(spark):
+    """The packed (doc,pos) argmin needs pos < 1e6 — a >1M-token
+    document must RAISE (assert_true in the filter), never silently
+    corrupt first_doc/first_pos."""
+    import pytest
+
+    big = spark.createDataFrame(
+        [(0, "tok " * 1_000_001)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception) as ei:
+        repeated_spans(big, window=4, min_docs=1).collect()
+    assert "exceeds 1000000 tokens" in str(ei.value)
+
+
 def test_spans_hot_path_is_codegen(docs):
     """No Python evaluation anywhere: the plan must contain no
     *InPandas/PythonUDF nodes (sequence/transform/md5 are all JVM)."""

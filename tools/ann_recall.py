@@ -39,15 +39,18 @@ NPROBES = (1, 2, 4, 8, 16)
 SECTION = "## ANN recall@k vs exact (round 4)"
 
 
-def _ground_truth(ids, M, k, metric):
-    """Exact top-k per query id (excluding self), float64 numpy.
+def _ground_truth(ids, M, k, metric, qids):
+    """Exact top-k per QUERY id only (excluding self), float64 numpy.
     metric: 'cosine' (desc) or 'l2' (asc); ties break on vec_id asc —
-    the same rule every operator uses."""
+    the same rule every operator uses. Looping over just the queries
+    keeps the tool O(|queries|·n) instead of O(n²)."""
     import numpy as np
 
     out = {}
     norms = np.sqrt((M * M).sum(1))
-    for qi, qid in enumerate(ids):
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for qid in qids:
+        qi = pos[int(qid)]
         if metric == "cosine":
             s = (M @ M[qi]) / (norms * norms[qi])
             order = np.lexsort((ids, -s))
@@ -87,10 +90,8 @@ def run(sf_dir: str, n_queries: int, k: int) -> dict:
     qids = ids[:n_queries]
     queries = emb.where(F.col("vec_id") < int(qids.max()) + 1)
 
-    gt_cos = _ground_truth(ids, M, k, "cosine")
-    gt_cos = {q: s for q, s in gt_cos.items() if q in set(qids.tolist())}
-    gt_l2 = _ground_truth(ids, M, k, "l2")
-    gt_l2 = {q: s for q, s in gt_l2.items() if q in set(qids.tolist())}
+    gt_cos = _ground_truth(ids, M, k, "cosine", qids)
+    gt_l2 = _ground_truth(ids, M, k, "l2", qids)
 
     # sanity: the Spark brute-force twin must agree with numpy exactly
     bf = _recall(brute_force_topk(emb, queries, k=k), gt_cos, k)
