@@ -466,9 +466,10 @@ def suite(spark, cal: dict[str, float]) -> dict[str, float]:
     """Headline per-query timings at SF_DIR (driver contract queries —
     the ones that exercise distinct plan shapes at scale). Round 4 adds
     the round-3 operators (pyramid thinning, IVFADC, CMS, zonal stats,
-    decontamination, two-star CC) so they get round-over-round
-    tracking. A calibration probe runs between every item (times land
-    in ``cal``)."""
+    decontamination, two-star CC) plus its own new ones (repeated
+    spans, incremental rebuild, adaptive cover) so every operator gets
+    round-over-round tracking from its first round. A calibration probe
+    runs between every item (times land in ``cal``)."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -479,6 +480,8 @@ def suite(spark, cal: dict[str, float]) -> dict[str, float]:
         "minhash_lsh", "simhash_pairs", "embedding_cosine_pairs", "ann_topk",
         "pyramid_thinned_counts", "ivf_pq_ann_topk", "cms_heavy_hitters",
         "zonal_fence_stats", "decontamination_overlap", "dedup_groups_chain",
+        "repeated_spans", "incremental_tile_rebuild",
+        "adaptive_cover_events",
     ]
     out: dict[str, float] = {}
     calibration_job(spark)  # compile the probe's codegen once, off-clock
