@@ -83,6 +83,21 @@ def stream_tile_counts(
     )
 
 
+def _epoch_committed(
+    spark: SparkSession, checkpoint_path: str, job_id: str, stage: str
+) -> bool:
+    """True iff this epoch's lineage commit marker already exists —
+    the shared idempotence probe of every exactly-once epoch writer."""
+    from ..sources.checkpoint import read_checkpoint
+
+    return bool(
+        read_checkpoint(spark, checkpoint_path)
+        .where((F.col("job_id") == job_id) & (F.col("stage") == stage))
+        .limit(1)
+        .count()
+    )
+
+
 def make_epoch_batch_writer(
     zoom: int,
     tiles_path: str,
@@ -115,18 +130,12 @@ def make_epoch_batch_writer(
     Exposed separately from the stream wiring so tests can drive the
     crash-replay matrix directly (tests/test_streaming.py).
     """
-    from ..sources.checkpoint import read_checkpoint, write_stage_checkpoint
+    from ..sources.checkpoint import write_stage_checkpoint
     from ..sources.tiles import encode_tiles
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         stage = f"epoch={epoch_id}"
-        committed = (
-            read_checkpoint(df.sparkSession, checkpoint_path)
-            .where((F.col("job_id") == job_id) & (F.col("stage") == stage))
-            .limit(1)
-            .count()
-        )
-        if committed:
+        if _epoch_committed(df.sparkSession, checkpoint_path, job_id, stage):
             return  # replay of a committed epoch: exactly-once no-op
         assigned = assign_tiles(df, zoom=zoom)
         feats = assigned.select(
@@ -171,6 +180,86 @@ def stream_encode_sink(
     """
     _batch = make_epoch_batch_writer(
         zoom, tiles_path, checkpoint_path, job_id=job_id
+    )
+    return points.writeStream.foreachBatch(_batch).outputMode("update")
+
+
+def make_counts_maintenance_writer(
+    zoom: int,
+    counts_path: str,
+    checkpoint_path: str,
+    levels: int = 3,
+    job_id: str = "tile_counts",
+):
+    """EXACTLY-ONCE materialized per-tile counts via an append-only
+    DELTA LEDGER — streaming × operators/incremental.py.
+
+    Each micro-batch of arriving points becomes its per-tile count
+    deltas at ``zoom`` and ``levels`` ancestors (tile_count_deltas —
+    changes-bounded, the fact table is never rescanned) written to its
+    own ``epoch=<id>/`` ledger partition with overwrite + a lineage
+    marker last, so the crash-replay matrix is identical to the tile
+    sink's: half-written epochs are replaced, committed epochs are
+    no-ops. The CURRENT counts are the ledger sum
+    (:func:`read_tile_counts`) — at planet scale that read is a
+    partial-aggregated scan of delta rows (metrics-sized, not
+    point-sized), and compaction is an offline sum-rewrite of old
+    epochs into one, which the ledger-sum read makes a no-op
+    semantically.
+    """
+    from ..operators.incremental import tile_count_deltas
+    from ..sources.checkpoint import write_stage_checkpoint
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        stage = f"epoch={epoch_id}"
+        if _epoch_committed(df.sparkSession, checkpoint_path, job_id, stage):
+            return
+        assigned = assign_tiles(df, zoom=zoom)
+        changes = assigned.select(
+            F.lit(None).cast("int").alias("old_x"),
+            F.lit(None).cast("int").alias("old_y"),
+            F.col("x").cast("int").alias("new_x"),
+            F.col("y").cast("int").alias("new_y"),
+        )
+        deltas = tile_count_deltas(changes, zoom, levels).cache()
+        try:
+            deltas.write.mode("overwrite").parquet(
+                os.path.join(counts_path, stage)
+            )
+            write_stage_checkpoint(
+                deltas, checkpoint_path, job_id=job_id,
+                stage=stage, lineage=f"counts epoch {epoch_id}",
+            )
+        finally:
+            deltas.unpersist()
+
+    return _batch
+
+
+def read_tile_counts(spark: SparkSession, counts_path: str) -> DataFrame:
+    """Current (zoom, x, y, n_points) from the delta ledger: one
+    partial-aggregated sum over the epoch partitions."""
+    led = spark.read.parquet(counts_path)
+    return (
+        led.groupBy("zoom", "x", "y")
+        .agg(F.sum("delta").cast("long").alias("n_points"))
+        .where(F.col("n_points") != 0)
+    )
+
+
+def stream_tile_counts_maintenance(
+    points: DataFrame,
+    zoom: int,
+    counts_path: str,
+    checkpoint_path: str,
+    levels: int = 3,
+    job_id: str = "tile_counts",
+):
+    """foreachBatch sink maintaining the materialized tile-counts
+    ledger exactly once per epoch (see make_counts_maintenance_writer).
+    Returns the unstarted ``DataStreamWriter``."""
+    _batch = make_counts_maintenance_writer(
+        zoom, counts_path, checkpoint_path, levels=levels, job_id=job_id
     )
     return points.writeStream.foreachBatch(_batch).outputMode("update")
 

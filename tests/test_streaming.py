@@ -168,6 +168,63 @@ def test_epoch_replay_is_exactly_once(spark, tmp_path):
     assert lineage.agg(F.sum("row_count")).collect()[0][0] == total.count()
 
 
+def test_counts_ledger_maintenance_exactly_once(spark, points_dir, tmp_path):
+    """streaming × incremental: the delta-ledger sink maintains
+    materialized per-tile counts across micro-batches; the ledger sum
+    must equal a full batch recompute at EVERY level, a replayed epoch
+    must be a no-op, and the end-to-end stream wiring must agree with
+    the directly-driven writer."""
+    from mvtspark.operators.spatial import assign_tiles
+    from mvtspark.streaming import (
+        read_tile_counts,
+        stream_tile_counts_maintenance,
+    )
+
+    ZM, LV = ZOOM, 3
+    counts_path = str(tmp_path / "counts")
+    ckpt_path = str(tmp_path / "lineage")
+    stream = file_points_stream(spark, points_dir, max_files_per_trigger=1)
+    q = (
+        stream_tile_counts_maintenance(
+            stream, ZM, counts_path, ckpt_path, levels=LV
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.zoom, r.x, r.y): r.n_points
+        for r in read_tile_counts(spark, counts_path).collect()
+    }
+    # oracle: full recompute over ALL arrived points (stream is
+    # insert-only here; duplicates in batch 2 are real arrivals)
+    pts = assign_tiles(spark.read.parquet(points_dir), zoom=ZM)
+    want = {}
+    for r in pts.select("x", "y").collect():
+        for lv in range(LV):
+            k = (ZM - lv, r.x >> lv, r.y >> lv)
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+
+    # replay the first committed epoch directly → ledger unchanged
+    from mvtspark.streaming import make_counts_maintenance_writer
+
+    lineage = spark.read.parquet(ckpt_path)
+    n_lineage = lineage.count()
+    batch = make_counts_maintenance_writer(ZM, counts_path, ckpt_path, LV)
+    first = spark.read.parquet(points_dir).limit(100)
+    batch(first, 0)  # epoch 0 already committed by the stream
+    assert {
+        (r.zoom, r.x, r.y): r.n_points
+        for r in read_tile_counts(spark, counts_path).collect()
+    } == want
+    assert spark.read.parquet(ckpt_path).count() == n_lineage
+
+
 def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
     """applyInPandasWithState: a tile hit in BOTH micro-batches must
     emit two updates with a growing total (state survived the batch
