@@ -79,7 +79,13 @@ def image_roundtrip_stats(images: DataFrame) -> DataFrame:
 
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize (pure numpy — real, not stubbed), emitting
-    raw bytes at (out_w, out_h). Plumbing template for any per-pixel op."""
+    raw bytes at (out_w, out_h). Plumbing template for any per-pixel op.
+
+    Whole-group stacked like channel_sums/pHash: one (n, out_h, out_w,
+    3) index-gather per (w, h, fmt) group instead of a per-image loop —
+    the gather indices depend only on the group shape. Byte-identical
+    output (pure integer index math); a failing group falls back to
+    per-image so undecodable rows carry the error."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -87,23 +93,42 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
         from mvtspark.kernels.image import decode_image, encode_raw
 
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
+            n = len(pdf)
+            blobs = np.full(n, None, dtype=object)
+            errs = np.full(n, None, dtype=object)
+            grp = pdf.groupby(["w", "h", "fmt"], dropna=False).indices.items()
+            for (w, h, fmt), poss in grp:
+                raw = pdf["bytes"].iloc[poss]
                 try:
-                    img = decode_image(bytes(row.bytes), int(row.w), int(row.h), row.fmt)
-                    yi = (np.arange(out_h) * img.shape[0] // out_h)
-                    xi = (np.arange(out_w) * img.shape[1] // out_w)
-                    resized = img[yi[:, None], xi[None, :]]
-                    out.append(
-                        dict(image_id=row.image_id, bytes=encode_raw(resized),
-                             w=out_w, h=out_h, fmt="raw", error=None)
-                    )
-                except Exception as e:
-                    out.append(
-                        dict(image_id=row.image_id, bytes=None, w=None, h=None,
-                             fmt=None, error=str(e))
-                    )
-            yield pd.DataFrame(out)
+                    stack = _decode_stack(raw, int(w), int(h), fmt)
+                    yi = np.arange(out_h) * stack.shape[1] // out_h
+                    xi = np.arange(out_w) * stack.shape[2] // out_w
+                    res = stack[:, yi[:, None], xi[None, :]]
+                    flat = np.ascontiguousarray(res).reshape(len(poss), -1)
+                    for j, p in enumerate(poss):
+                        blobs[p] = flat[j].tobytes()
+                except Exception:
+                    for p, b in zip(poss, raw):
+                        try:
+                            img = decode_image(
+                                bytes(b), int(w), int(h), fmt
+                            )
+                            yi = np.arange(out_h) * img.shape[0] // out_h
+                            xi = np.arange(out_w) * img.shape[1] // out_w
+                            blobs[p] = encode_raw(img[yi[:, None], xi[None, :]])
+                        except Exception as e:
+                            errs[p] = str(e)
+            ok = np.array([e is None for e in errs])
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "bytes": blobs,
+                    "w": np.where(ok, out_w, None),
+                    "h": np.where(ok, out_h, None),
+                    "fmt": np.where(ok, "raw", None),
+                    "error": errs,
+                }
+            )
 
     return images.mapInPandas(
         _resize,

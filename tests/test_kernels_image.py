@@ -190,3 +190,35 @@ def test_channel_sums_from_bytes_match_numpy(spark):
             int(a[:, :, 2].sum()),
         )
     assert fmts == {"raw", "png"}  # both codecs exercised
+
+
+def test_resize_batch_byte_identical_and_error_isolated(spark):
+    """Stacked resize must emit byte-identical thumbnails to the
+    per-image gather, and a corrupt payload only fails its own row."""
+    import numpy as np
+
+    from mvtspark.kernels.image import decode_image, synth_image
+    from mvtspark.operators.multimodal import resize_images
+    from mvtspark.sources.images import synth_images
+
+    base = synth_images(spark, 12).collect()
+    rows = [(r.image_id, bytes(r.bytes), r.w, r.h, r.fmt) for r in base]
+    bad_id = next(r[0] for r in rows if r[4] == "raw")
+    rows = [
+        (i, b[:7] if i == bad_id else b, w, h, f) for i, b, w, h, f in rows
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r.image_id: r for r in resize_images(df, 8, 8).collect()}
+    assert got[bad_id].bytes is None and got[bad_id].error
+    for r in base:
+        if r.image_id == bad_id:
+            continue
+        data, w, h, fmt = synth_image(int(r.image_id[3:]))
+        img = decode_image(data, w, h, fmt)
+        yi = np.arange(8) * h // 8
+        xi = np.arange(8) * w // 8
+        want = np.ascontiguousarray(img[yi[:, None], xi[None, :]]).tobytes()
+        assert bytes(got[r.image_id].bytes) == want
+        assert got[r.image_id].error is None
