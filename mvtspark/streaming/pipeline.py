@@ -28,6 +28,7 @@ production — same one-line switch as sources.checkpoint).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -245,6 +246,80 @@ def read_tile_counts(spark: SparkSession, counts_path: str) -> DataFrame:
         .agg(F.sum("delta").cast("long").alias("n_points"))
         .where(F.col("n_points") != 0)
     )
+
+
+def _finish_compaction(counts_path: str) -> None:
+    """Complete (or discard) an interrupted compaction. The manifest is
+    the commit point: without it, a leftover ``_compact_tmp`` is
+    garbage from a pre-commit crash and is discarded; with it, the
+    swap (remove folded epochs + old base, rename tmp, drop manifest)
+    replays idempotently."""
+    import shutil
+
+    tmp = os.path.join(counts_path, "_compact_tmp")
+    manifest = os.path.join(counts_path, "_compact_manifest.json")
+    if not os.path.exists(manifest):
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        return
+    folded = json.load(open(manifest))
+    for e in folded:
+        d = os.path.join(counts_path, f"epoch={e}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    base = os.path.join(counts_path, "epoch=-1")
+    if os.path.exists(tmp):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.rename(tmp, base)
+    os.remove(manifest)
+
+
+def compact_tile_counts(
+    spark: SparkSession, counts_path: str, upto_epoch: int
+) -> int:
+    """Offline ledger compaction: fold every ``epoch=<id>`` partition
+    with 0 <= id <= ``upto_epoch`` (plus any existing base) into one
+    ``epoch=-1`` base partition of summed deltas. The ledger-sum read
+    (:func:`read_tile_counts`) is indifferent to compaction by
+    construction — pinned in tests.
+
+    Crash-safe two-phase swap: (1) the folded base is written to a
+    ``_compact_tmp`` dir (underscore-prefixed → invisible to parquet
+    partition discovery, so concurrent reads stay correct); (2) a
+    manifest naming the folded epochs is written — THE commit point;
+    (3) folded epochs + old base are removed and tmp renamed in. A
+    crash before (2) discards tmp on the next run; after (2) the next
+    run replays (3) idempotently (_finish_compaction). On an object
+    store / Iceberg this same protocol is a metadata swap — the
+    storage calls are the one-line switch, the ordering is the point.
+    Returns the number of folded epoch partitions.
+    """
+    _finish_compaction(counts_path)
+    led = spark.read.parquet(counts_path)
+    fold = led.where(
+        (F.col("epoch") <= upto_epoch) & (F.col("epoch") >= 0)
+    )
+    folded_epochs = sorted(
+        r.epoch for r in fold.select("epoch").distinct().collect()
+    )
+    if not folded_epochs:
+        return 0
+    base = (
+        led.where(F.col("epoch") <= upto_epoch)  # includes epoch=-1
+        .drop("epoch")
+        .groupBy("zoom", "x", "y")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+        .where(F.col("delta") != 0)
+    )
+    tmp = os.path.join(counts_path, "_compact_tmp")
+    base.write.mode("overwrite").parquet(tmp)
+    manifest = os.path.join(counts_path, "_compact_manifest.json")
+    with open(manifest + ".part", "w") as f:
+        json.dump(folded_epochs, f)
+    os.rename(manifest + ".part", manifest)  # commit point (atomic)
+    _finish_compaction(counts_path)
+    return len(folded_epochs)
 
 
 def stream_tile_counts_maintenance(

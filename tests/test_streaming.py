@@ -225,6 +225,74 @@ def test_counts_ledger_maintenance_exactly_once(spark, points_dir, tmp_path):
     assert spark.read.parquet(ckpt_path).count() == n_lineage
 
 
+def test_ledger_compaction_preserves_counts(spark, tmp_path):
+    """compact_tile_counts folds old epochs into the epoch=-1 base:
+    the ledger sum is invariant across compaction, later epochs keep
+    accumulating, and both crash windows (pre-commit tmp garbage;
+    post-commit interrupted swap) recover to the same state."""
+    import json as _json
+    import os as _os
+
+    from mvtspark.streaming import (
+        compact_tile_counts,
+        make_counts_maintenance_writer,
+        read_tile_counts,
+    )
+
+    counts_path = str(tmp_path / "counts")
+    ckpt_path = str(tmp_path / "lineage")
+    pts = synth_points(spark, 300).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000))
+    )
+    batch = make_counts_maintenance_writer(ZOOM, counts_path, ckpt_path, 2)
+    batch(pts.limit(100), 0)
+    batch(pts.subtract(pts.limit(100)).limit(100), 1)
+    batch(pts.subtract(pts.limit(200)), 2)
+
+    def snap():
+        return {
+            (r.zoom, r.x, r.y): r.n_points
+            for r in read_tile_counts(spark, counts_path).collect()
+        }
+
+    before = snap()
+    assert compact_tile_counts(spark, counts_path, upto_epoch=1) == 2
+    assert snap() == before
+    dirs = sorted(
+        d for d in _os.listdir(counts_path) if d.startswith("epoch=")
+    )
+    assert dirs == ["epoch=-1", "epoch=2"]
+    # compact everything (old base + epoch 2) → single base, same sum
+    assert compact_tile_counts(spark, counts_path, upto_epoch=2) == 1
+    assert snap() == before
+    # pre-commit crash: stray tmp without manifest is discarded
+    _os.makedirs(_os.path.join(counts_path, "_compact_tmp"), exist_ok=True)
+    assert compact_tile_counts(spark, counts_path, upto_epoch=99) == 0
+    assert snap() == before
+    assert not _os.path.exists(_os.path.join(counts_path, "_compact_tmp"))
+    # post-commit crash: manifest written, swap interrupted → the next
+    # compaction call replays the swap before doing anything else
+    batch(pts.limit(50), 3)  # one more epoch to fold
+    after3 = snap()
+    led = spark.read.parquet(counts_path)
+    folded = (
+        led.where(F.col("epoch") <= 3).drop("epoch")
+        .groupBy("zoom", "x", "y")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+        .where(F.col("delta") != 0)
+    )
+    folded.write.mode("overwrite").parquet(
+        _os.path.join(counts_path, "_compact_tmp")
+    )
+    with open(_os.path.join(counts_path, "_compact_manifest.json"), "w") as f:
+        _json.dump([3], f)  # commit point reached, swap never ran
+    assert compact_tile_counts(spark, counts_path, upto_epoch=3) == 0
+    assert snap() == after3
+    assert sorted(
+        d for d in _os.listdir(counts_path) if d.startswith("epoch=")
+    ) == ["epoch=-1"]
+
+
 def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
     """applyInPandasWithState: a tile hit in BOTH micro-batches must
     emit two updates with a growing total (state survived the batch
