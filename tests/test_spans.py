@@ -80,3 +80,42 @@ def test_spans_hot_path_is_codegen(docs):
     plan = repeated_spans(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Pandas" not in plan and "PythonUDF" not in plan
     assert "HashAggregate" in plan  # map-side partial agg present
+
+
+def test_randomized_brute_force_parity(spark):
+    """repeated_spans must equal a pure-Python brute force on random
+    corpora from a tiny vocabulary (which forces genuine cross- and
+    within-doc span collisions), across windows and min_docs."""
+    import hashlib
+    import random
+
+    for seed, window, min_docs in ((1, 3, 2), (2, 5, 2), (3, 4, 3)):
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd"]
+        docs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+            for d in range(40)
+        ]
+        # brute force
+        occ = {}
+        for d, text in docs:
+            toks = text.lower().split()
+            for i in range(len(toks) - window + 1):
+                k = hashlib.md5(
+                    " ".join(toks[i : i + window]).encode()
+                ).hexdigest()
+                occ.setdefault(k, []).append((d, i + 1))
+        want = {}
+        for k, locs in occ.items():
+            nd = len({d for d, _ in locs})
+            if nd >= min_docs:
+                fd, fp = min(locs)
+                want[k] = (len(locs), nd, fd, fp)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.span_key: (r.n_occ, r.n_docs, r.first_doc, r.first_pos)
+            for r in repeated_spans(
+                df, window=window, min_docs=min_docs
+            ).collect()
+        }
+        assert got == want, (seed, window, min_docs)
