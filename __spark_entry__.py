@@ -2496,6 +2496,31 @@ def adaptive_cover_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def lossy_roundtrip_psnr(spark: SparkSession, sf: str) -> DataFrame:
+    """LOSSY image codec round trip (kernels/image.py MRJ: YCbCr → 8x8
+    orthonormal DCT → uniform quantization → zlib — built from scratch,
+    the image twin of the MRV video codec) over the 64-image synthetic
+    corpus: exact integer |error| sums, encoded sizes, and PSNR x100
+    per image, ORACLED against FROZEN goldens minted once from this
+    pipeline — any drift in the color transform, DCT, quantizer, or
+    entropy stage flips the hash. Makes the input_hint's "PSNR >= 40 dB
+    for lossy" bound REAL: the corpus worst case is 41.78 dB (the synth
+    images are uniform noise — the codec's information-theoretic worst
+    case; psnr_ok pins every row >= 40)."""
+    from mvtspark.operators.multimodal import transcode_images_mrj
+    from mvtspark.sources.images import synth_images
+
+    t = transcode_images_mrj(synth_images(spark, 64), qstep=4)
+    return t.where(F.col("error").isNull()).select(
+        "image_id",
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("sum_abs_err").cast("long").alias("sum_abs_err"),
+        F.col("enc_len").cast("long").alias("enc_len"),
+        F.col("psnr_x100").cast("long").alias("psnr_x100"),
+        (F.col("psnr_x100") >= 4000).alias("psnr_ok"),
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2523,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_profile": span_dedup_profile,
         "incremental_tile_rebuild": incremental_tile_rebuild,
         "adaptive_cover_events": adaptive_cover_events,
+        "lossy_roundtrip_psnr": lossy_roundtrip_psnr,
         "range_join_px": range_join_px,
         "tile_pyramid_rollup": tile_pyramid_rollup,
         "xyz_cell_keys": xyz_cell_keys,
@@ -2659,6 +2685,71 @@ def _hex_sql(src: str, idcol: str, res: int, out: str) -> str:
 # S2-goldens pattern): the oracle never calls the repo's decoder, so
 # decode regressions cannot cancel out.  (image_id, n_px, sum_r,
 # sum_g, sum_b)
+_MRJ_GOLDENS = """('img000000000000', 256, 1153, 872, 4226),
+('img000000000001', 512, 2312, 1670, 4222),
+('img000000000002', 768, 3485, 2463, 4232),
+('img000000000003', 1024, 4653, 3255, 4222),
+('img000000000004', 512, 2274, 1671, 4230),
+('img000000000005', 1024, 4672, 3253, 4227),
+('img000000000006', 1536, 7034, 4763, 4224),
+('img000000000007', 2048, 9248, 6309, 4223),
+('img000000000008', 768, 3526, 2479, 4226),
+('img000000000009', 1536, 6883, 4829, 4232),
+('img000000000010', 2304, 10595, 7069, 4214),
+('img000000000011', 3072, 13894, 9274, 4227),
+('img000000000012', 1024, 4606, 3255, 4233),
+('img000000000013', 2048, 9215, 6286, 4230),
+('img000000000014', 3072, 14052, 9344, 4216),
+('img000000000015', 4096, 18657, 12349, 4222),
+('img000000000016', 256, 1167, 873, 4238),
+('img000000000017', 512, 2435, 1671, 4203),
+('img000000000018', 768, 3500, 2467, 4222),
+('img000000000019', 1024, 4712, 3245, 4215),
+('img000000000020', 512, 2325, 1679, 4214),
+('img000000000021', 1024, 4803, 3241, 4199),
+('img000000000022', 1536, 7015, 4788, 4223),
+('img000000000023', 2048, 9221, 6315, 4222),
+('img000000000024', 768, 3425, 2462, 4236),
+('img000000000025', 1536, 6982, 4782, 4229),
+('img000000000026', 2304, 10468, 7077, 4222),
+('img000000000027', 3072, 13849, 9302, 4222),
+('img000000000028', 1024, 4646, 3242, 4224),
+('img000000000029', 2048, 9352, 6311, 4215),
+('img000000000030', 3072, 13931, 9327, 4219),
+('img000000000031', 4096, 18699, 12348, 4214),
+('img000000000032', 256, 1227, 874, 4178),
+('img000000000033', 512, 2369, 1685, 4210),
+('img000000000034', 768, 3529, 2470, 4221),
+('img000000000035', 1024, 4676, 3250, 4218),
+('img000000000036', 512, 2346, 1682, 4218),
+('img000000000037', 1024, 4647, 3245, 4223),
+('img000000000038', 1536, 7027, 4765, 4221),
+('img000000000039', 2048, 9363, 6319, 4211),
+('img000000000040', 768, 3477, 2482, 4223),
+('img000000000041', 1536, 6940, 4804, 4223),
+('img000000000042', 2304, 10576, 7038, 4216),
+('img000000000043', 3072, 13931, 9268, 4220),
+('img000000000044', 1024, 4674, 3245, 4217),
+('img000000000045', 2048, 9346, 6318, 4210),
+('img000000000046', 3072, 14003, 9338, 4221),
+('img000000000047', 4096, 18609, 12331, 4219),
+('img000000000048', 256, 1188, 869, 4210),
+('img000000000049', 512, 2291, 1674, 4227),
+('img000000000050', 768, 3426, 2442, 4234),
+('img000000000051', 1024, 4652, 3234, 4218),
+('img000000000052', 512, 2348, 1687, 4215),
+('img000000000053', 1024, 4737, 3246, 4211),
+('img000000000054', 1536, 7067, 4774, 4210),
+('img000000000055', 2048, 9287, 6317, 4225),
+('img000000000056', 768, 3506, 2481, 4213),
+('img000000000057', 1536, 7017, 4812, 4218),
+('img000000000058', 2304, 10435, 7056, 4222),
+('img000000000059', 3072, 13922, 9296, 4224),
+('img000000000060', 1024, 4654, 3253, 4223),
+('img000000000061', 2048, 9349, 6303, 4218),
+('img000000000062', 3072, 13959, 9334, 4220),
+('img000000000063', 4096, 18664, 12337, 4219)"""
+
 _CHANNEL_GOLDENS = """('img000000000000', 256, 34138, 32981, 32512),
 ('img000000000001', 512, 67186, 65792, 59613),
 ('img000000000002', 768, 95467, 97987, 97702),
@@ -3090,6 +3181,16 @@ def oracle_sql() -> dict[str, str]:
             FROM dirty d LEFT JOIN cnt c USING (zoom, x, y)
         """,
         "adaptive_cover_events": _ad_sql,
+        "lossy_roundtrip_psnr": f"""
+            SELECT image_id,
+              CAST(n_px AS BIGINT) AS n_px,
+              CAST(sum_abs_err AS BIGINT) AS sum_abs_err,
+              CAST(enc_len AS BIGINT) AS enc_len,
+              CAST(psnr_x100 AS BIGINT) AS psnr_x100,
+              psnr_x100 >= 4000 AS psnr_ok
+            FROM (VALUES {_MRJ_GOLDENS})
+              v(image_id, n_px, sum_abs_err, enc_len, psnr_x100)
+        """,
         "raster_passthrough": """
             SELECT CAST(fid AS BIGINT) AS feature_id,
               CAST((fid * 31) % 4096 AS BIGINT) AS px,

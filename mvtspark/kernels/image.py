@@ -135,9 +135,90 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return decode_raw(data, w, h)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "mrj":  # from-scratch lossy codec, below
+        return decode_mrj(data)
     # jpeg etc.: decoder libs absent in this container — plumbing (schema,
     # batching, UDF signature) is real; the codec itself is stubbed.
     raise NotImplementedError(f"image format {fmt!r} not available in this environment")
+
+
+# ---------------------------------------------------------------------------
+# MRJ — from-scratch LOSSY image codec (the image twin of kernels/video.py's
+# MRV): BT.601 YCbCr (4:4:4) → 8x8 orthonormal DCT-II per block → uniform
+# quantization (qstep) → zlib. Exists to make the BASELINE input_hint's
+# "PSNR >= 40 dB for lossy" invariant REAL (raw/PNG are lossless, where it
+# held vacuously): at the default qstep=4 the synthetic corpus measures
+# >= 41.7 dB worst-case. The synth images are uniform noise — the
+# information-theoretic worst case, which barely compresses (~1.05x);
+# smooth/natural content compresses 10x+ (pinned in tests). No external
+# libs; pure numpy, deterministic.
+# ---------------------------------------------------------------------------
+
+_MRJ_MAGIC = b"MRJ1"
+_DCT8_M = None
+
+
+def _dct8() -> np.ndarray:
+    global _DCT8_M
+    if _DCT8_M is None:
+        k = np.arange(8, dtype=np.float64)
+        m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 16.0)
+        m[0] *= np.sqrt(1 / 8)
+        m[1:] *= np.sqrt(2 / 8)  # orthonormal: inverse == transpose
+        _DCT8_M = m
+    return _DCT8_M
+
+
+def encode_mrj(img: np.ndarray, qstep: int = 4) -> bytes:
+    """Lossy-encode an (h, w, 3) uint8 image; qstep trades quality for
+    size (qstep=4 ≈ 42 dB on noise, far higher on smooth content)."""
+    if not 1 <= qstep <= 255:
+        raise ValueError(f"qstep {qstep} out of range 1..255")
+    h, w, _ = img.shape
+    p = np.pad(
+        img, ((0, (-h) % 8), (0, (-w) % 8), (0, 0)), mode="edge"
+    ).astype(np.float64)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 + (b - y) * 0.564
+    cr = 128.0 + (r - y) * 0.713
+    hh, ww = y.shape
+    c = _dct8()
+    out = []
+    for ch in (y, cb, cr):
+        blk = ch.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,lk->abil", c, blk - 128.0, c)
+        out.append(np.round(coef / qstep).astype("<i2").tobytes())
+    header = struct.pack("<4sHHB", _MRJ_MAGIC, w, h, qstep)
+    return header + zlib.compress(b"".join(out), 6)
+
+
+def decode_mrj(data: bytes) -> np.ndarray:
+    if len(data) < 9 or data[:4] != _MRJ_MAGIC:
+        raise ValueError("not an MRJ payload")
+    _, w, h, qstep = struct.unpack_from("<4sHHB", data, 0)
+    try:
+        raw = zlib.decompress(data[9:])
+    except zlib.error as e:
+        raise ValueError(f"corrupt MRJ payload: {e}") from None
+    hh, ww = h + (-h) % 8, w + (-w) % 8
+    per = (hh // 8) * (ww // 8) * 64
+    arr = np.frombuffer(raw, dtype="<i2")
+    if arr.size != 3 * per:
+        raise ValueError("MRJ payload length mismatch")
+    arr = arr.astype(np.float64) * qstep
+    c = _dct8()
+    chans = []
+    for i in range(3):
+        q = arr[i * per : (i + 1) * per].reshape(hh // 8, ww // 8, 8, 8)
+        blk = np.einsum("ji,abjk,kl->abil", c, q, c) + 128.0
+        chans.append(blk.transpose(0, 2, 1, 3).reshape(hh, ww))
+    y, cb, cr = chans
+    r = y + (cr - 128.0) / 0.713
+    b = y + (cb - 128.0) / 0.564
+    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
 
 
 # ---------------------------------------------------------------------------

@@ -136,6 +136,64 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+TRANSCODE_SCHEMA = (
+    "image_id string, mrj binary, w int, h int, n_px long, orig_len long, "
+    "enc_len long, sum_abs_err long, psnr_x100 long, error string"
+)
+
+
+def transcode_images_mrj(images: DataFrame, qstep: int = 4) -> DataFrame:
+    """Transcode any decodable image to the from-scratch MRJ LOSSY
+    codec (kernels/image.py: YCbCr → 8x8 DCT → uniform quantization →
+    zlib) and verify the round trip in the same pass: exact integer
+    |error| sum + PSNR (x100, integer) against the source pixels — the
+    BASELINE input_hint's "PSNR >= 40 dB for lossy" invariant measured
+    for real, per row. Per-row loop is per IMAGE; all pixel work is
+    vectorized numpy inside the codec (einsum over every 8x8 block at
+    once). Undecodable rows carry the error instead of failing the job.
+    """
+
+    def _tc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mvtspark.kernels.image import decode_image, decode_mrj, encode_mrj
+
+        cols = [c.split()[0] for c in TRANSCODE_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                rec = dict.fromkeys(cols)
+                rec["image_id"] = row.image_id
+                try:
+                    img = decode_image(
+                        bytes(row.bytes), int(row.w), int(row.h), row.fmt
+                    )
+                    enc = encode_mrj(img, qstep)
+                    dec = decode_mrj(enc)
+                    diff = dec.astype(np.int64) - img.astype(np.int64)
+                    sse = float((diff * diff).sum())
+                    n = img.size
+                    p = (
+                        10.0 * np.log10(255.0 * 255.0 * n / sse)
+                        if sse else float("inf")
+                    )
+                    rec.update(
+                        mrj=enc, w=int(row.w), h=int(row.h),
+                        n_px=int(row.w) * int(row.h),
+                        orig_len=len(bytes(row.bytes)), enc_len=len(enc),
+                        sum_abs_err=int(np.abs(diff).sum()),
+                        psnr_x100=int(round(p * 100)) if sse else 10**9,
+                    )
+                except Exception as e:
+                    rec["error"] = str(e)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _tc, TRANSCODE_SCHEMA
+    )
+
+
 def frame_sample_clips(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-stride sampling over REAL decoded pixels — the MRV
     codec (kernels/video.py) replaced the round-1/2 stub.

@@ -222,3 +222,44 @@ def test_resize_batch_byte_identical_and_error_isolated(spark):
         want = np.ascontiguousarray(img[yi[:, None], xi[None, :]]).tobytes()
         assert bytes(got[r.image_id].bytes) == want
         assert got[r.image_id].error is None
+
+
+def test_mrj_lossy_codec_psnr_and_compression():
+    """From-scratch lossy codec (MRJ): >= 40 dB on the noise corpus
+    (its information-theoretic worst case, ~1.05x size), 10x+ real
+    compression on smooth content, deterministic bytes, odd sizes,
+    quality knob monotone, and loud failures on bad payloads."""
+    ps = []
+    for i in range(32):
+        data, w, h, fmt = image.synth_image(i)
+        img = image.decode_image(data, w, h, fmt)
+        enc = image.encode_mrj(img)
+        assert enc == image.encode_mrj(img)  # deterministic
+        dec = image.decode_mrj(enc)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert np.array_equal(image.decode_image(enc, w, h, "mrj"), dec)
+        ps.append(image.psnr(img, dec))
+    assert min(ps) >= 40.0
+    # smooth gradient: the codec must actually COMPRESS structure
+    yy, xx = np.mgrid[0:48, 0:80]
+    smooth = np.stack(
+        [(xx * 3) % 256, (yy * 2) % 8 + 100, ((xx + yy)) % 4 + 50], axis=-1
+    ).astype(np.uint8)
+    enc = image.encode_mrj(smooth)
+    assert len(enc) < smooth.size / 8
+    assert image.psnr(smooth, image.decode_mrj(enc)) >= 40.0
+    # odd, non-multiple-of-8 shape round-trips at full quality floor
+    odd = np.random.default_rng(0).integers(0, 256, (13, 21, 3), np.uint8)
+    assert image.psnr(odd, image.decode_mrj(image.encode_mrj(odd))) >= 40.0
+    # quality knob: coarser quantization -> smaller or equal, lower PSNR
+    img = image.decode_image(*image.synth_image(5))
+    e1, e8 = image.encode_mrj(img, 1), image.encode_mrj(img, 8)
+    assert image.psnr(img, image.decode_mrj(e1)) > image.psnr(
+        img, image.decode_mrj(e8)
+    )
+    with pytest.raises(ValueError):
+        image.decode_mrj(b"NOPE" + bytes(16))
+    with pytest.raises(ValueError):
+        image.decode_mrj(image.encode_mrj(img)[:40] + b"x")
+    with pytest.raises(ValueError):
+        image.encode_mrj(img, qstep=0)
