@@ -365,6 +365,26 @@ def mvt_decode_refmix_job(spark):
     return 210, nfeat, nvert
 
 
+def image_transcode_job(spark, n_images: int = 2000):
+    """Axis-B (image payload) throughput: decode every synthetic image
+    (raw + PNG mix), transcode it through the from-scratch MRJ lossy
+    codec, decode THAT back and verify PSNR >= 40 dB per row — the
+    input_hint's per-row invariant measured at rate. Returns
+    (n_images, n_psnr_ok, total_bytes_in)."""
+    from pyspark.sql import functions as F
+
+    from mvtspark.operators.multimodal import transcode_images_mrj
+    from mvtspark.sources.images import synth_images
+
+    t = transcode_images_mrj(synth_images(spark, n_images))
+    row = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("psnr_x100") >= 4000).cast("long")).alias("ok"),
+        F.sum("orig_len").alias("bytes_in"),
+    ).collect()[0]
+    return int(row.n), int(row.ok), int(row.bytes_in)
+
+
 def mvt_codec_job(spark, points_path: str, cap: int = 300_000):
     """Encode per-tile MVT protobufs from joined points and decode them
     back (S9 + D1-D8) — the reference Bench's decode loop, distributed."""
@@ -593,6 +613,10 @@ def main() -> None:
     q["mvt_decode_ref"] = round(rd_avg, 3)
     rm_avg, _, (mt, mf, mv) = timed(lambda: mvt_decode_refmix_job(spark))
     q["mvt_decode_refmix"] = round(rm_avg, 3)
+    im_avg, _, (im_n, im_ok, im_bytes) = timed(
+        lambda: image_transcode_job(spark)
+    )
+    q["image_transcode_mrj"] = round(im_avg, 3)
     _cal_probe(spark, cal, "_end")
     cal_vals = list(cal.values())
     total = round(sum(q.values()), 3)
@@ -615,6 +639,12 @@ def main() -> None:
         "refmix_decode_vertices_per_sec": round(mv / rm_avg, 1),
         "mvt_features_decoded": n_feats,
         "mvt_features_per_sec": round(n_feats / mv_avg, 1),
+        # axis-B payload throughput: decode → lossy MRJ transcode →
+        # decode-back with the per-row PSNR >= 40 dB invariant verified
+        "images_transcoded": im_n,
+        "images_psnr_ok": im_ok,
+        "images_per_sec": round(im_n / im_avg, 1),
+        "image_mb_per_sec": round(im_bytes / im_avg / 1e6, 2),
         # constant-work host probe interleaved between every item:
         # identical work each sample, so spread == host noise during
         # THIS run. steady_ratio_max_min near 1 => clean run; >> 1 =>
