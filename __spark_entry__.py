@@ -2521,6 +2521,41 @@ def lossy_roundtrip_psnr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def snap_nearest_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-matching core (operators/snap.py): every event point snaps
+    to its nearest polyline segment within a 64 px radius — segment
+    bboxes inflate by the radius and explode to grid cells so a point
+    probes only its OWN cell (exact by construction, never a cross
+    join); the argmin packs (scaled d², seg_id) into one BIGINT so both
+    engines pick identical winners. 200 closed-form segments (seg 0
+    degenerate) over closed-form pixel points. ORACLED: DuckDB brute
+    forces the full point × segment distance matrix with the same
+    clamp/round/pack discipline."""
+    from mvtspark.operators.snap import snap_to_segments
+
+    e = F.col("event_id")
+    pts = _t(spark, sf, "events").select(
+        e.alias("point_id"),
+        ((e * 48271) % 4096).cast("double").alias("px"),
+        ((e * 69621) % 4096).cast("double").alias("py"),
+    )
+    i = F.col("id")
+    segs = spark.range(200).select(
+        i.cast("int").alias("seg_id"),
+        ((i * 7919) % 4096).cast("double").alias("ax"),
+        ((i * 104729) % 4096).cast("double").alias("ay"),
+        (
+            (i * 7919) % 4096
+            + F.when(i == 0, F.lit(0)).otherwise((i * 131) % 512 - 256)
+        ).cast("double").alias("bx"),
+        (
+            (i * 104729) % 4096
+            + F.when(i == 0, F.lit(0)).otherwise((i * 211) % 512 - 256)
+        ).cast("double").alias("by"),
+    )
+    return snap_to_segments(pts, segs, radius=64.0)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2549,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_tile_rebuild": incremental_tile_rebuild,
         "adaptive_cover_events": adaptive_cover_events,
         "lossy_roundtrip_psnr": lossy_roundtrip_psnr,
+        "snap_nearest_segment": snap_nearest_segment,
         "range_join_px": range_join_px,
         "tile_pyramid_rollup": tile_pyramid_rollup,
         "xyz_cell_keys": xyz_cell_keys,
@@ -3181,6 +3217,42 @@ def oracle_sql() -> dict[str, str]:
             FROM dirty d LEFT JOIN cnt c USING (zoom, x, y)
         """,
         "adaptive_cover_events": _ad_sql,
+        "snap_nearest_segment": """
+            WITH pts AS (SELECT event_id AS point_id,
+                CAST((event_id * 48271) % 4096 AS DOUBLE) AS px,
+                CAST((event_id * 69621) % 4096 AS DOUBLE) AS py
+              FROM events),
+            segs AS (SELECT CAST(i AS INT) AS seg_id,
+                CAST((i * 7919) % 4096 AS DOUBLE) AS ax,
+                CAST((i * 104729) % 4096 AS DOUBLE) AS ay,
+                CAST((i * 7919) % 4096
+                  + CASE WHEN i = 0 THEN 0 ELSE (i * 131) % 512 - 256 END
+                  AS DOUBLE) AS bx,
+                CAST((i * 104729) % 4096
+                  + CASE WHEN i = 0 THEN 0 ELSE (i * 211) % 512 - 256 END
+                  AS DOUBLE) AS by
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range(200))),
+            d AS (SELECT point_id,
+                CAST(ROUND(((px - (ax + t * dx)) * (px - (ax + t * dx))
+                          + (py - (ay + t * dy)) * (py - (ay + t * dy)))
+                          * 10000, 0) AS BIGINT) AS d2s,
+                CAST(seg_id AS BIGINT) AS sid
+              FROM (SELECT point_id, px, py, seg_id, ax, ay, dx, dy,
+                  LEAST(1.0, GREATEST(0.0,
+                    ((px - ax) * dx + (py - ay) * dy)
+                    / (CASE WHEN dx * dx + dy * dy = 0 THEN 1.0
+                            ELSE dx * dx + dy * dy END))) AS t
+                FROM (SELECT p.point_id, p.px, p.py, s.seg_id, s.ax, s.ay,
+                        s.bx - s.ax AS dx, s.by - s.ay AS dy
+                      FROM pts p CROSS JOIN segs s))),
+            best AS (SELECT point_id,
+                MIN(d2s * 100000 + sid) AS pack
+              FROM d WHERE d2s <= 64 * 64 * 10000 GROUP BY 1)
+            SELECT point_id,
+              CAST(pack % 100000 AS BIGINT) AS seg_id,
+              CAST(pack // 100000 AS BIGINT) AS dist2_x10k
+            FROM best
+        """,
         "lossy_roundtrip_psnr": f"""
             SELECT image_id,
               CAST(n_px AS BIGINT) AS n_px,

@@ -1,0 +1,119 @@
+"""Nearest-segment snap (map matching core): assign each point the
+closest polyline segment within a gating radius — the line-geometry
+spatial join the J-family lacked (PIP joins polygons, kNN joins points).
+
+EXACT by construction, never a cross join: each segment's bbox is
+inflated by the radius and exploded to grid cells (cell == radius), so
+ANY point within the radius of a segment shares a cell with that
+segment's cover — a point probes only its OWN cell. The cover is a
+dim-side table (O(|segments| × length/cell)), broadcast; the fact table
+sees one equi-join plus a min() aggregation with map-side partials.
+The argmin packs (scaled distance², seg_id) into one BIGINT so both
+engines pick the same winner bit-for-bit (the haversine_nearest
+round-before-argmin discipline).
+
+100-TB shape: points shuffle ONCE (their own argmin agg); the segment
+cover is bounded by the road network, not the points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# distance² is rounded at x10^4 scale BEFORE the argmin (cross-engine
+# double discipline) and packed with seg_id; seg_id must fit the slot.
+_D2_SCALE = 10_000
+_SEG_SLOT = 100_000
+
+
+def _seg_cover(segments: DataFrame, radius: float, cell: float) -> DataFrame:
+    """(cell_x, cell_y, seg_id, ax, ay, bx, by): every grid cell whose
+    square could contain a point within ``radius`` of the segment
+    (bbox inflated by radius — a superset, exact filtering happens at
+    the distance step)."""
+    lo = lambda a, b: F.least(F.col(a), F.col(b))  # noqa: E731
+    hi = lambda a, b: F.greatest(F.col(a), F.col(b))  # noqa: E731
+    cx0 = F.floor((lo("ax", "bx") - radius) / cell).cast("int")
+    cx1 = F.floor((hi("ax", "bx") + radius) / cell).cast("int")
+    cy0 = F.floor((lo("ay", "by") - radius) / cell).cast("int")
+    cy1 = F.floor((hi("ay", "by") + radius) / cell).cast("int")
+    with_rng = segments.select(
+        "seg_id", "ax", "ay", "bx", "by",
+        F.sequence(cx0, cx1).alias("_xs"),
+        F.sequence(cy0, cy1).alias("_ys"),
+    )
+    return (
+        with_rng.select(
+            "seg_id", "ax", "ay", "bx", "by",
+            F.explode("_xs").alias("cell_x"), "_ys",
+        )
+        .select(
+            "seg_id", "ax", "ay", "bx", "by", "cell_x",
+            F.explode("_ys").alias("cell_y"),
+        )
+    )
+
+
+def _point_segment_d2(px, py, ax, ay, bx, by) -> Column:
+    """Squared point→segment distance with the parameter clamped to
+    [0, 1]; pure + - * / doubles (plus least/greatest), so a SQL oracle
+    replays it bit-for-bit. A degenerate (zero-length) segment measures
+    to its endpoint (t pins to 0 via the guard)."""
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    t_raw = ((px - ax) * dx + (py - ay) * dy) / F.when(
+        len2 == 0.0, F.lit(1.0)
+    ).otherwise(len2)
+    t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t_raw))
+    ex = px - (ax + t * dx)
+    ey = py - (ay + t * dy)
+    return ex * ex + ey * ey
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: float,
+    point_id: str = "point_id",
+    x_col: str = "px",
+    y_col: str = "py",
+) -> DataFrame:
+    """(point_id, seg_id, dist2_x10k) — the nearest segment within
+    ``radius`` per point (points farther than radius from every segment
+    are dropped). ``segments`` must carry (seg_id, ax, ay, bx, by);
+    seg_id must be < 100000 (argmin pack slot — asserted in the plan).
+    """
+    cell = float(radius)
+    cover = _seg_cover(segments, radius, cell)
+    px, py = F.col(x_col), F.col(y_col)
+    pts = points.select(
+        F.col(point_id),
+        px.alias("_px"),
+        py.alias("_py"),
+        F.floor(px / cell).cast("int").alias("cell_x"),
+        F.floor(py / cell).cast("int").alias("cell_y"),
+    )
+    j = pts.join(F.broadcast(cover), ["cell_x", "cell_y"])
+    d2 = _point_segment_d2(
+        F.col("_px"), F.col("_py"),
+        F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+    )
+    guard = F.assert_true(
+        F.col("seg_id") < _SEG_SLOT, "seg_id overflows the argmin pack"
+    ).isNull()
+    cand = j.select(
+        point_id,
+        F.round(d2 * _D2_SCALE, 0).cast("long").alias("_d2s"),
+        F.col("seg_id").cast("long").alias("_sid"),
+    ).where(
+        (F.col("_d2s") <= int(radius * radius * _D2_SCALE)) & guard
+    )
+    best = cand.groupBy(point_id).agg(
+        F.min(F.col("_d2s") * _SEG_SLOT + F.col("_sid")).alias("_pack")
+    )
+    return best.select(
+        point_id,
+        (F.col("_pack") % _SEG_SLOT).cast("long").alias("seg_id"),
+        F.expr(f"_pack div {_SEG_SLOT}").cast("long").alias("dist2_x10k"),
+    )

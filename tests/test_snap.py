@@ -1,0 +1,86 @@
+"""Nearest-segment snap (operators/snap.py): brute-force parity,
+radius gating, degenerate segments, and the no-cross-join plan."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mvtspark.operators.snap import snap_to_segments
+
+R = 50.0
+
+
+def _brute(points, segments, radius):
+    want = {}
+    for pid, px, py in points:
+        best = None
+        for sid, ax, ay, bx, by in segments:
+            dx, dy = bx - ax, by - ay
+            len2 = dx * dx + dy * dy
+            t_raw = ((px - ax) * dx + (py - ay) * dy) / (len2 or 1.0)
+            t = min(1.0, max(0.0, t_raw))
+            ex, ey = px - (ax + t * dx), py - (ay + t * dy)
+            d2s = round((ex * ex + ey * ey) * 10_000)
+            if d2s <= radius * radius * 10_000:
+                key = (d2s, sid)
+                if best is None or key < best:
+                    best = key
+        if best is not None:
+            want[pid] = (best[1], best[0])
+    return want
+
+
+@pytest.fixture()
+def world(spark):
+    rng = np.random.default_rng(7)
+    segs = []
+    for i in range(60):
+        ax, ay = rng.uniform(0, 2000, 2)
+        if i == 0:
+            bx, by = ax, ay  # degenerate: a point-segment
+        else:
+            bx = ax + rng.uniform(-300, 300)
+            by = ay + rng.uniform(-300, 300)
+        segs.append((i, float(ax), float(ay), float(bx), float(by)))
+    pts = [
+        (p, float(x), float(y))
+        for p, (x, y) in enumerate(rng.uniform(0, 2000, (500, 2)))
+    ]
+    sdf = spark.createDataFrame(
+        segs, "seg_id int, ax double, ay double, bx double, by double"
+    )
+    pdf = spark.createDataFrame(pts, "point_id long, px double, py double")
+    return pts, segs, pdf, sdf
+
+
+def test_matches_brute_force(world, spark):
+    pts, segs, pdf, sdf = world
+    got = {
+        r.point_id: (r.seg_id, r.dist2_x10k)
+        for r in snap_to_segments(pdf, sdf, R).collect()
+    }
+    assert got == _brute(pts, segs, R)
+    assert 0 < len(got) < len(pts)  # radius really gates
+
+
+def test_degenerate_segment_snaps_points(world, spark):
+    pts, segs, pdf, sdf = world
+    # a point ON the degenerate segment must snap to it at distance 0
+    _, ax, ay, _, _ = segs[0]
+    extra = spark.createDataFrame(
+        [(9999, ax, ay)], "point_id long, px double, py double"
+    )
+    out = {r.point_id: r for r in snap_to_segments(extra, sdf, R).collect()}
+    assert out[9999].seg_id == 0 and out[9999].dist2_x10k == 0
+
+
+def test_no_cross_join_in_plan(world):
+    _, _, pdf, sdf = world
+    plan = (
+        snap_to_segments(pdf, sdf, R)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # cell equi-join on the dim
+    assert "HashAggregate" in plan  # packed argmin with partials

@@ -53,6 +53,9 @@ AUDITS = {
     # tree walk over checkpointed counts: broadcast semi-joins only
     # (the single rollup exchange lives in the checkpoint job)
     "adaptive_cover_events": ["BroadcastHashJoin", "ExistingRDD"],
+    # snap: cell equi-join on the broadcast segment-cover dim + packed
+    # argmin with map-side partials — never a cross join
+    "snap_nearest_segment": ["BroadcastHashJoin", "HashAggregate"],
     "asof_join_clicks": ["Window", "Sort"],
     "geojson_points": ["codegen id"],
     "frame_sample": ["MapInPandas"],
