@@ -2716,11 +2716,13 @@ def _hex_sql(src: str, idcol: str, res: int, out: str) -> str:
                THEN -rx-ry ELSE rz END AS BIGINT) AS r FROM {out}_c))"""
 
 
-# Frozen per-image channel-sum goldens for synth_image(0..119) —
-# computed ONCE from the decoded pixels and pinned as literals (the
-# S2-goldens pattern): the oracle never calls the repo's decoder, so
-# decode regressions cannot cancel out.  (image_id, n_px, sum_r,
-# sum_g, sum_b)
+# Frozen MRJ lossy-roundtrip goldens for synth_image(0..63) — minted
+# ONCE from transcode_images_mrj at qstep=4 and pinned as literals:
+# any later drift in the color transform, DCT, quantizer, or zlib
+# framing flips the hash (unlike the channel goldens below, these DO
+# certify the repo's own codec against its frozen past self, not an
+# independent recomputation). (image_id, n_px, sum_abs_err, enc_len,
+# psnr_x100)
 _MRJ_GOLDENS = """('img000000000000', 256, 1153, 872, 4226),
 ('img000000000001', 512, 2312, 1670, 4222),
 ('img000000000002', 768, 3485, 2463, 4232),
@@ -2786,6 +2788,11 @@ _MRJ_GOLDENS = """('img000000000000', 256, 1153, 872, 4226),
 ('img000000000062', 3072, 13959, 9334, 4220),
 ('img000000000063', 4096, 18664, 12337, 4219)"""
 
+# Frozen per-image channel-sum goldens for synth_image(0..119) —
+# computed ONCE from the decoded pixels and pinned as literals (the
+# S2-goldens pattern): the oracle never calls the repo's decoder, so
+# decode regressions cannot cancel out.  (image_id, n_px, sum_r,
+# sum_g, sum_b)
 _CHANNEL_GOLDENS = """('img000000000000', 256, 34138, 32981, 32512),
 ('img000000000001', 512, 67186, 65792, 59613),
 ('img000000000002', 768, 95467, 97987, 97702),

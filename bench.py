@@ -379,8 +379,12 @@ def image_transcode_job(spark, n_images: int = 2000):
     t = transcode_images_mrj(synth_images(spark, n_images))
     row = t.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("psnr_x100") >= 4000).cast("long")).alias("ok"),
-        F.sum("orig_len").alias("bytes_in"),
+        # coalesce: an all-error batch must report ok=0, not crash the
+        # bench with int(None)
+        F.coalesce(
+            F.sum((F.col("psnr_x100") >= 4000).cast("long")), F.lit(0)
+        ).alias("ok"),
+        F.coalesce(F.sum("orig_len"), F.lit(0)).alias("bytes_in"),
     ).collect()[0]
     return int(row.n), int(row.ok), int(row.bytes_in)
 

@@ -175,6 +175,8 @@ def encode_mrj(img: np.ndarray, qstep: int = 4) -> bytes:
     if not 1 <= qstep <= 255:
         raise ValueError(f"qstep {qstep} out of range 1..255")
     h, w, _ = img.shape
+    if w > 0xFFFF or h > 0xFFFF:  # header '<H' fields — fail up front
+        raise ValueError(f"image {w}x{h} exceeds the 65535 MRJ dim limit")
     p = np.pad(
         img, ((0, (-h) % 8), (0, (-w) % 8), (0, 0)), mode="edge"
     ).astype(np.float64)

@@ -100,7 +100,8 @@ def snap_to_segments(
         F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
     )
     guard = F.assert_true(
-        F.col("seg_id") < _SEG_SLOT, "seg_id overflows the argmin pack"
+        (F.col("seg_id") >= 0) & (F.col("seg_id") < _SEG_SLOT),
+        "seg_id outside [0, 100000): would corrupt the argmin pack",
     ).isNull()
     cand = j.select(
         point_id,

@@ -35,18 +35,20 @@ def _span_keys(
     whitespace rule (operators/text.py) over lowercased text; ``pos``
     is the 1-based token index."""
     t = tokens(F.lower(F.col(text_col)))
-    # loud scale guard rides the filter (a Filter condition is never
-    # pruned, unlike an unused projected column): the packed (doc, pos)
-    # argmin below needs pos < _MAX_POS; assert_true returns NULL on
-    # success and raises the job otherwise.
-    guard = F.assert_true(
-        F.size("t") < _MAX_POS,
-        f"document exceeds {_MAX_POS} tokens; packed span positions"
-        " would corrupt",
-    ).isNull()
-    base = docs.select(F.col("doc_id"), t.alias("t")).where(
-        (F.size("t") >= window) & guard
-    )
+    cond = F.size("t") >= window
+    if with_pos:
+        # loud scale guard rides the filter (a Filter condition is never
+        # pruned, unlike an unused projected column): the packed
+        # (doc, pos) argmin needs pos < _MAX_POS; assert_true returns
+        # NULL on success and raises the job otherwise. The
+        # with_pos=False path never packs positions, so a >1M-token
+        # document is legal there and must NOT fail the job.
+        cond = cond & F.assert_true(
+            F.size("t") < _MAX_POS,
+            f"document exceeds {_MAX_POS} tokens; packed span positions"
+            " would corrupt",
+        ).isNull()
+    base = docs.select(F.col("doc_id"), t.alias("t")).where(cond)
     # sequence() descends when stop < start — the >= window filter above
     # is what makes (size - window + 1) a valid ascending stop.
     starts = F.sequence(F.lit(1), F.size("t") - window + 1)

@@ -276,37 +276,66 @@ def _finish_compaction(counts_path: str) -> None:
 
 
 def compact_tile_counts(
-    spark: SparkSession, counts_path: str, upto_epoch: int
+    spark: SparkSession,
+    counts_path: str,
+    checkpoint_path: str,
+    upto_epoch: int,
+    job_id: str = "tile_counts",
 ) -> int:
-    """Offline ledger compaction: fold every ``epoch=<id>`` partition
-    with 0 <= id <= ``upto_epoch`` (plus any existing base) into one
-    ``epoch=-1`` base partition of summed deltas. The ledger-sum read
-    (:func:`read_tile_counts`) is indifferent to compaction by
-    construction — pinned in tests.
+    """Offline ledger compaction: fold every COMMITTED ``epoch=<id>``
+    partition with 0 <= id <= ``upto_epoch`` (plus any existing base)
+    into one ``epoch=-1`` base partition of summed deltas. The
+    ledger-sum read (:func:`read_tile_counts`) is indifferent to
+    compaction by construction — pinned in tests.
+
+    Only epochs whose lineage marker exists are folded: an uncommitted
+    epoch dir (writer crashed before its marker) will be OVERWRITTEN by
+    the stream's replay — folding it into the base would double-count
+    that replay. Its dir is left alone and folded by a later compaction
+    once committed.
 
     Crash-safe two-phase swap: (1) the folded base is written to a
     ``_compact_tmp`` dir (underscore-prefixed → invisible to parquet
-    partition discovery, so concurrent reads stay correct); (2) a
-    manifest naming the folded epochs is written — THE commit point;
-    (3) folded epochs + old base are removed and tmp renamed in. A
-    crash before (2) discards tmp on the next run; after (2) the next
-    run replays (3) idempotently (_finish_compaction). On an object
-    store / Iceberg this same protocol is a metadata swap — the
-    storage calls are the one-line switch, the ordering is the point.
-    Returns the number of folded epoch partitions.
+    partition discovery, so reads concurrent with this phase are
+    unaffected); (2) a manifest naming the folded epochs is written —
+    THE commit point; (3) folded epochs + old base are removed and tmp
+    renamed in. A crash before (2) discards tmp on the next run; after
+    (2) the next run replays (3) idempotently (_finish_compaction).
+    The swap window itself (step 3) is not atomic for CONCURRENT
+    readers on a plain filesystem — run compaction offline, as with
+    any file-listing layout; Iceberg's atomic snapshot pointer is what
+    removes that caveat in the production shape. Returns the number of
+    folded epoch partitions.
     """
+    from ..sources.checkpoint import read_checkpoint
+
     _finish_compaction(counts_path)
+    committed = {
+        int(r.stage.split("=", 1)[1])
+        for r in read_checkpoint(spark, checkpoint_path)
+        .where(
+            (F.col("job_id") == job_id)
+            & F.col("stage").startswith("epoch=")
+        )
+        .select("stage")
+        .distinct()
+        .collect()
+    }
     led = spark.read.parquet(counts_path)
     fold = led.where(
         (F.col("epoch") <= upto_epoch) & (F.col("epoch") >= 0)
     )
     folded_epochs = sorted(
-        r.epoch for r in fold.select("epoch").distinct().collect()
+        r.epoch
+        for r in fold.select("epoch").distinct().collect()
+        if r.epoch in committed
     )
     if not folded_epochs:
         return 0
     base = (
-        led.where(F.col("epoch") <= upto_epoch)  # includes epoch=-1
+        led.where(
+            (F.col("epoch") == -1) | F.col("epoch").isin(folded_epochs)
+        )
         .drop("epoch")
         .groupBy("zoom", "x", "y")
         .agg(F.sum("delta").cast("long").alias("delta"))

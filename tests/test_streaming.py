@@ -256,20 +256,42 @@ def test_ledger_compaction_preserves_counts(spark, tmp_path):
         }
 
     before = snap()
-    assert compact_tile_counts(spark, counts_path, upto_epoch=1) == 2
+    assert compact_tile_counts(spark, counts_path, ckpt_path, 1) == 2
     assert snap() == before
     dirs = sorted(
         d for d in _os.listdir(counts_path) if d.startswith("epoch=")
     )
     assert dirs == ["epoch=-1", "epoch=2"]
     # compact everything (old base + epoch 2) → single base, same sum
-    assert compact_tile_counts(spark, counts_path, upto_epoch=2) == 1
+    assert compact_tile_counts(spark, counts_path, ckpt_path, 2) == 1
     assert snap() == before
     # pre-commit crash: stray tmp without manifest is discarded
     _os.makedirs(_os.path.join(counts_path, "_compact_tmp"), exist_ok=True)
-    assert compact_tile_counts(spark, counts_path, upto_epoch=99) == 0
+    assert compact_tile_counts(spark, counts_path, ckpt_path, 99) == 0
     assert snap() == before
     assert not _os.path.exists(_os.path.join(counts_path, "_compact_tmp"))
+    # UNCOMMITTED epoch (writer crashed before its marker): compaction
+    # must leave it alone — the stream will overwrite it on replay, and
+    # folding it first would double-count that replay
+    spark.read.parquet(counts_path + "/epoch=-1").write.mode(
+        "overwrite"
+    ).parquet(counts_path + "/epoch=7")  # garbage deltas, no marker
+    assert compact_tile_counts(spark, counts_path, ckpt_path, 99) == 0
+    assert "epoch=7" in set(_os.listdir(counts_path))
+    batch7 = make_counts_maintenance_writer(ZOOM, counts_path, ckpt_path, 2)
+    replay7 = pts.limit(30)
+    batch7(replay7, 7)  # the stream's replay commits epoch 7 properly
+    want7 = dict(before)
+    from mvtspark.operators.spatial import assign_tiles as _at
+
+    for r in _at(replay7, zoom=ZOOM).select("x", "y").collect():
+        for lv in range(2):
+            k = (ZOOM - lv, r.x >> lv, r.y >> lv)
+            want7[k] = want7.get(k, 0) + 1
+    assert snap() == want7
+    # now committed → a later compaction folds it
+    assert compact_tile_counts(spark, counts_path, ckpt_path, 99) == 1
+    assert snap() == want7
     # post-commit crash: manifest written, swap interrupted → the next
     # compaction call replays the swap before doing anything else
     batch(pts.limit(50), 3)  # one more epoch to fold
@@ -286,7 +308,7 @@ def test_ledger_compaction_preserves_counts(spark, tmp_path):
     )
     with open(_os.path.join(counts_path, "_compact_manifest.json"), "w") as f:
         _json.dump([3], f)  # commit point reached, swap never ran
-    assert compact_tile_counts(spark, counts_path, upto_epoch=3) == 0
+    assert compact_tile_counts(spark, counts_path, ckpt_path, 3) == 0
     assert snap() == after3
     assert sorted(
         d for d in _os.listdir(counts_path) if d.startswith("epoch=")
