@@ -2556,6 +2556,31 @@ def snap_nearest_segment(spark: SparkSession, sf: str) -> DataFrame:
     return snap_to_segments(pts, segs, radius=64.0)
 
 
+def doc_search_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index BUILD (operators/search.py): (term, doc_id, tf)
+    postings over the documents corpus — one explode + one aggregation
+    with map-side partials; bucketBy(term) at write time in production
+    so query probes prune buckets. ORACLED: DuckDB replays tokenize →
+    unnest → group."""
+    from mvtspark.operators.search import build_postings
+
+    return build_postings(_t(spark, sf, "documents"))
+
+
+def doc_search_and(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive keyword query over the inverted index: documents
+    containing ALL of {hash, join, scan} with match counts and total
+    term frequency — answered from POSTINGS ALONE (the plan test pins
+    that document text is never re-tokenized at query time; the term
+    filter is pushed into the scan). ORACLED end-to-end."""
+    from mvtspark.operators.search import build_postings, search_all_terms
+
+    return search_all_terms(
+        build_postings(_t(spark, sf, "documents")),
+        ["hash", "join", "scan"],
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2585,6 +2610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_cover_events": adaptive_cover_events,
         "lossy_roundtrip_psnr": lossy_roundtrip_psnr,
         "snap_nearest_segment": snap_nearest_segment,
+        "doc_search_postings": doc_search_postings,
+        "doc_search_and": doc_search_and,
         "range_join_px": range_join_px,
         "tile_pyramid_rollup": tile_pyramid_rollup,
         "xyz_cell_keys": xyz_cell_keys,
@@ -3224,6 +3251,29 @@ def oracle_sql() -> dict[str, str]:
             FROM dirty d LEFT JOIN cnt c USING (zoom, x, y)
         """,
         "adaptive_cover_events": _ad_sql,
+        "doc_search_postings": """
+            WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  AS term
+              FROM documents)
+            SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE term != '' GROUP BY 1, 2
+        """,
+        "doc_search_and": """
+            WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  AS term
+              FROM documents),
+            p AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM toks WHERE term != '' GROUP BY 1, 2),
+            hits AS (SELECT doc_id,
+                COUNT(DISTINCT term) AS nt, SUM(tf) AS total
+              FROM p WHERE term IN ('hash', 'join', 'scan')
+              GROUP BY 1)
+            SELECT doc_id, CAST(nt AS BIGINT) AS n_terms_matched,
+              CAST(total AS BIGINT) AS total_tf
+            FROM hits WHERE nt = 3
+        """,
         "snap_nearest_segment": """
             WITH pts AS (SELECT event_id AS point_id,
                 CAST((event_id * 48271) % 4096 AS DOUBLE) AS px,

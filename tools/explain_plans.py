@@ -56,6 +56,10 @@ AUDITS = {
     # snap: cell equi-join on the broadcast segment-cover dim + packed
     # argmin with map-side partials — never a cross join
     "snap_nearest_segment": ["BroadcastHashJoin", "HashAggregate"],
+    # conjunctive query answered from postings: one explode for the
+    # build, aggregations with partials; never a document re-scan at
+    # query time (tests pin the materialized-postings plan separately)
+    "doc_search_and": ["Generate", "HashAggregate"],
     "asof_join_clicks": ["Window", "Sort"],
     "geojson_points": ["codegen id"],
     "frame_sample": ["MapInPandas"],
