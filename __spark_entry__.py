@@ -2589,10 +2589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # AFTER their last driver-green row come first — round 4 fronts the
     # four r3-stale ones (frame_sample r1-row/stub→MRV codec,
     # geojson_points r1-row/e→E fix, streaming_geofence_alerts
-    # r2-row/fence-id fix, knn_sites r2-row/ring-UDF rewrite) plus the
-    # five whose code changed this round (CMS multiply-shift hash,
-    # two-star convergence confirm, session-window batch ordering,
-    # zonal float preservation).
+    # r2-row/fence-id fix, knn_sites r2-row/ring-UDF rewrite), the five
+    # whose code changed this round (CMS multiply-shift hash, two-star
+    # convergence confirm, session-window batch ordering, zonal float
+    # preservation), then the nine queries NEW in round 4
+    # (raster_passthrough, spans, incremental, adaptive, lossy MRJ,
+    # snap, inverted-index search) which have never been sampled.
     return {
         "frame_sample": frame_sample,
         "geojson_points": geojson_points,
