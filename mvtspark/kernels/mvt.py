@@ -179,6 +179,11 @@ def decode_feature(buf: memoryview, validate: bool, layer: Layer) -> Feature:
             # field — a mismatched wire type (invalid corpus class 4)
             # must still fall through to skip()'s wire-type rejection
             ln, pos = read_varint(buf, pos)
+            if pos + ln > len(buf):
+                # memoryview slices truncate silently — a corrupt
+                # length must fail loudly, matching the decode_tile
+                # layer-length guard (invalid corpus class 4)
+                raise MvtError("raster length overruns feature")
             f.raster = bytes(buf[pos : pos + ln])
             pos += ln
         else:

@@ -93,9 +93,13 @@ def adaptive_cell_cover(
         per_level[z] = rolled.where(F.col("_gid") == gid).select(*sel)
 
     def finish(df: DataFrame, z: int) -> DataFrame:
+        # integer `div`, not F.floor(k / 2^z): the double quotient can
+        # round across the boundary once k = x*2^z + y exceeds 2^53
+        # (zoom >= 27), corrupting (x, y) — same packed-key rule as
+        # spans.py's _first_loc unpack. `%` is already exact.
         return df.select(
             F.lit(z).cast("int").alias("zoom"),
-            F.floor(F.col("k") / F.lit(1 << z)).cast("int").alias("x"),
+            F.expr(f"k div {1 << z}").cast("int").alias("x"),
             (F.col("k") % F.lit(1 << z)).cast("int").alias("y"),
             "n_points",
         )

@@ -1,8 +1,10 @@
 """Multimodal payload operators (image/audio/video as opaque binary +
-typed metadata). Spark-side plumbing — schema, batching, partitioning,
-UDF signatures — is real and tested; codecs that need system libs absent
-from this container (JPEG, audio, video) are stubbed behind explicit
-NotImplementedError with deterministic-fake fallbacks for testing.
+typed metadata). The codecs are REAL: raw/PNG image decode + the MRJ
+lossy codec (kernels/image.py), the MRV video codec with frame sampling
+(kernels/video.py), and RMS/ZCR audio window features over raw PCM —
+all from-scratch numpy. The only remaining stub is JPEG decode
+(kernels/image.py) because PIL/cv2 are absent from this container; it
+raises NotImplementedError behind the same decode API.
 
 Scale notes: image bytes dominate row size, so
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` is tuned down in

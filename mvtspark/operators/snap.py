@@ -3,9 +3,10 @@ closest polyline segment within a gating radius — the line-geometry
 spatial join the J-family lacked (PIP joins polygons, kNN joins points).
 
 EXACT by construction, never a cross join: each segment's bbox is
-inflated by the radius and exploded to grid cells (cell == radius), so
-ANY point within the radius of a segment shares a cell with that
-segment's cover — a point probes only its OWN cell. The cover is a
+inflated by the radius (plus the distance-rounding slack — see
+snap_to_segments) and exploded to grid cells (cell == radius), so ANY
+point the rounded gate can admit shares a cell with that segment's
+cover — a point probes only its OWN cell. The cover is a
 dim-side table (O(|segments| × length/cell)), broadcast; the fact table
 sees one equi-join plus a min() aggregation with map-side partials.
 The argmin packs (scaled distance², seg_id) into one BIGINT so both
@@ -17,6 +18,8 @@ cover is bounded by the road network, not the points.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -85,7 +88,14 @@ def snap_to_segments(
     seg_id must be < 100000 (argmin pack slot — asserted in the plan).
     """
     cell = float(radius)
-    cover = _seg_cover(segments, radius, cell)
+    # The gate compares the ROUNDED distance² (x10^4) to radius², so a
+    # point at true distance in (radius, sqrt(radius² + 0.5/SCALE)]
+    # still rounds under the threshold and must be reachable through
+    # the cell join — inflate the cover by that rounding slack, or the
+    # brute-force oracle (cross join, same rounded filter) could return
+    # a pair the engine's cover never sees.
+    pad = math.sqrt(radius * radius + 0.5 / _D2_SCALE)
+    cover = _seg_cover(segments, pad, cell)
     px, py = F.col(x_col), F.col(y_col)
     pts = points.select(
         F.col(point_id),

@@ -114,9 +114,14 @@ def make_epoch_batch_writer(
 
     1. each epoch's tiles land in their own ``epoch=<id>/`` directory
        written with mode("overwrite") — a replay of a half-written
-       epoch replaces the partial files instead of appending duplicates
-       (readers see the epoch as an ordinary partition-discovery
-       column, so ``spark.read.parquet(tiles_path)`` keeps working);
+       epoch replaces the partial files instead of appending duplicates.
+       SCHEMA NOTE for readers of the old flat-append layout: the sink
+       now exposes an extra ``epoch`` partition-discovery column, and a
+       raw ``spark.read.parquet(tiles_path)`` can observe a partially
+       committed epoch during the crash window before its marker /
+       replay. Use :func:`read_stream_tiles` — it drops ``epoch``
+       (restoring the flat schema) and, given the checkpoint path,
+       filters to committed epochs only;
     2. the lineage row (``stage = epoch=<id>``) is written LAST — it is
        the commit marker; and
     3. an epoch whose marker already exists returns without writing
@@ -237,10 +242,72 @@ def make_counts_maintenance_writer(
     return _batch
 
 
-def read_tile_counts(spark: SparkSession, counts_path: str) -> DataFrame:
+def read_stream_tiles(
+    spark: SparkSession,
+    tiles_path: str,
+    checkpoint_path: str | None = None,
+    job_id: str = "stream_encode",
+) -> DataFrame:
+    """Read the epoch-partitioned stream tile sink with the flat-layout
+    schema (``epoch`` dropped). Pass ``checkpoint_path`` to filter to
+    COMMITTED epochs (lineage marker present) — excluding the dirty-read
+    window where a crashed writer's half-written epoch dir is visible
+    before its replay. The epoch filter is partition pruning on the
+    scan (epoch is the partition column), so uncommitted files are
+    never even listed into the read."""
+    led = spark.read.parquet(tiles_path)
+    if checkpoint_path is not None:
+        committed = _committed_epoch_ids(spark, checkpoint_path, job_id)
+        led = led.where(F.col("epoch").isin(committed))
+    return led.drop("epoch")
+
+
+def _committed_epoch_ids(
+    spark: SparkSession, checkpoint_path: str, job_id: str
+) -> list:
+    """Epoch ids whose lineage commit marker exists — the shared probe
+    of the ledger read and compaction paths. Bounded by epochs
+    (metrics rows, not data); compaction keeps the live list short."""
+    from ..sources.checkpoint import read_checkpoint
+
+    return sorted(
+        {
+            int(r.stage.split("=", 1)[1])
+            for r in read_checkpoint(spark, checkpoint_path)
+            .where(
+                (F.col("job_id") == job_id)
+                & F.col("stage").startswith("epoch=")
+            )
+            .select("stage")
+            .distinct()
+            .collect()
+        }
+    )
+
+
+def read_tile_counts(
+    spark: SparkSession,
+    counts_path: str,
+    checkpoint_path: str | None = None,
+    job_id: str = "tile_counts",
+) -> DataFrame:
     """Current (zoom, x, y, n_points) from the delta ledger: one
-    partial-aggregated sum over the epoch partitions."""
+    partial-aggregated sum over the epoch partitions.
+
+    Pass ``checkpoint_path`` to restrict the sum to COMMITTED epochs
+    (lineage marker present) plus the ``epoch=-1`` compacted base —
+    this is what makes the read exactly-once under the crash-replay
+    matrix: a writer that died after its parquet write but before its
+    marker leaves an uncommitted ``epoch=<id>/`` dir that the stream
+    will overwrite on replay, and summing it early would count a
+    partial (then, post-replay, stale) delta. Without
+    ``checkpoint_path`` the read sums every ``epoch=*`` dir and is
+    only exact when no writer crashed mid-epoch (a dirty-read window —
+    fine for monitoring, not for the exactly-once claim)."""
     led = spark.read.parquet(counts_path)
+    if checkpoint_path is not None:
+        committed = _committed_epoch_ids(spark, checkpoint_path, job_id)
+        led = led.where(F.col("epoch").isin([-1, *committed]))
     return (
         led.groupBy("zoom", "x", "y")
         .agg(F.sum("delta").cast("long").alias("n_points"))
@@ -307,20 +374,8 @@ def compact_tile_counts(
     removes that caveat in the production shape. Returns the number of
     folded epoch partitions.
     """
-    from ..sources.checkpoint import read_checkpoint
-
     _finish_compaction(counts_path)
-    committed = {
-        int(r.stage.split("=", 1)[1])
-        for r in read_checkpoint(spark, checkpoint_path)
-        .where(
-            (F.col("job_id") == job_id)
-            & F.col("stage").startswith("epoch=")
-        )
-        .select("stage")
-        .distinct()
-        .collect()
-    }
+    committed = set(_committed_epoch_ids(spark, checkpoint_path, job_id))
     led = spark.read.parquet(counts_path)
     fold = led.where(
         (F.col("epoch") <= upto_epoch) & (F.col("epoch") >= 0)

@@ -94,3 +94,15 @@ def test_single_shuffle_for_all_levels(skewed):
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
     assert "Exchange hashpartitioning" not in plan  # only broadcasts
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_deep_zoom_unpack_is_integer_exact(spark):
+    """Packed-key unpack must use integer `div`, not double division:
+    at zoom 28 the key k = x*2^28 + y reaches 2^56, where the double
+    quotient rounds across the boundary (k = 2^56 - 1 rounds to 2^56,
+    so floor(k/2^28) reads back x+1). One point at the far corner pins
+    the exact unpack."""
+    side = 1 << 28
+    pts = spark.createDataFrame([(side - 1, side - 1)], "x int, y int")
+    leaves = _leaves(adaptive_cell_cover(pts, 28, 28, 10))
+    assert leaves == [(28, side - 1, side - 1, 1)]

@@ -272,3 +272,17 @@ def test_raster_column_in_decode_tiles(spark):
         b"RR1" * 1, None, b"RR3" * 3, None
     ]
     assert "raster" not in decode_tiles(tiles).columns  # default unchanged
+
+
+def test_raster_length_overrun_raises():
+    """A corrupt tag-5 length that overruns the feature must fail
+    loudly (memoryview slices truncate silently otherwise) — same rule
+    as decode_tile's layer-length guard, invalid corpus class 4."""
+    from mvtspark.sources.invalid_corpus import _FEATURE, _layer, _tile
+
+    # key 0x2A = tag 5 << 3 | WT 2, length 16 claimed, 2 bytes present
+    bad = _tile(_layer(feature=_FEATURE + bytes([0x2A, 0x10, 0x01, 0x02])))
+    with pytest.raises(mvt.MvtError, match="raster length overruns"):
+        mvt.decode_tile(bad, validate=True)
+    with pytest.raises(mvt.MvtError, match="raster length overruns"):
+        mvt.decode_tile(bad, validate=False)

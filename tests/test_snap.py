@@ -84,3 +84,28 @@ def test_no_cross_join_in_plan(world):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # cell equi-join on the dim
     assert "HashAggregate" in plan  # packed argmin with partials
+
+def test_rounding_slack_boundary_pair_not_missed(spark):
+    """A point at true distance just OVER the radius still passes the
+    ROUNDED gate (round(d2*1e4) <= r2*1e4); the cell cover must be
+    inflated by that rounding slack or the brute-force oracle returns a
+    pair the engine's cell join never sees. Constructed so the point's
+    cell sits one row beyond the radius-only cover: segment at
+    y = 0.499975, point at y = 1.0, radius 0.5 → dist = 0.500025,
+    d2s = round(2500.25) = 2500 <= 2500, point cell_y = 2 while
+    floor((ay + r)/cell) = 1."""
+    sdf = spark.createDataFrame(
+        [(0, 0.0, 0.499975, 1.0, 0.499975)],
+        "seg_id int, ax double, ay double, bx double, by double",
+    )
+    pdf = spark.createDataFrame(
+        [(1, 0.5, 1.0)], "point_id long, px double, py double"
+    )
+    r = 0.5
+    got = {
+        p.point_id: (p.seg_id, p.dist2_x10k)
+        for p in snap_to_segments(pdf, sdf, r).collect()
+    }
+    want = _brute([(1, 0.5, 1.0)], [(0, 0.0, 0.499975, 1.0, 0.499975)], r)
+    assert want == {1: (0, 2500)}  # the oracle admits the pair...
+    assert got == want  # ...so the engine must too

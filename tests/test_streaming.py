@@ -526,3 +526,84 @@ def test_streaming_session_merges_across_batches(spark, tmp_path):
         (t0 + dt.timedelta(minutes=50)).replace(tzinfo=dt.timezone.utc)
     )
     assert rows[8].n_events == 1
+
+
+def test_ledger_read_skips_uncommitted_epoch(spark, tmp_path):
+    """Exactly-once READ path: an epoch dir whose writer crashed after
+    the parquet write but before its lineage marker must not be summed
+    (its deltas are partial/stale until the stream replays the epoch).
+    read_tile_counts(checkpoint_path=...) filters to committed epochs
+    (plus the epoch=-1 base); the unfiltered read documents the dirty
+    window."""
+    from mvtspark.streaming import (
+        make_counts_maintenance_writer,
+        read_tile_counts,
+    )
+
+    counts_path = str(tmp_path / "counts")
+    ckpt_path = str(tmp_path / "lineage")
+    pts = synth_points(spark, 200).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000))
+    )
+    batch = make_counts_maintenance_writer(ZOOM, counts_path, ckpt_path, 2)
+    batch(pts.limit(100), 0)
+    batch(pts.subtract(pts.limit(100)), 1)
+    committed = {
+        (r.zoom, r.x, r.y): r.n_points
+        for r in read_tile_counts(spark, counts_path, ckpt_path).collect()
+    }
+    # simulate the crash window: epoch 2's parquet lands, marker never
+    # written (half the batch → partial deltas)
+    from mvtspark.operators.incremental import tile_count_deltas
+    from mvtspark.operators.spatial import assign_tiles
+
+    half = assign_tiles(pts.limit(50), zoom=ZOOM).select(
+        F.lit(None).cast("int").alias("old_x"),
+        F.lit(None).cast("int").alias("old_y"),
+        F.col("x").cast("int").alias("new_x"),
+        F.col("y").cast("int").alias("new_y"),
+    )
+    tile_count_deltas(half, ZOOM, 2).write.mode("overwrite").parquet(
+        counts_path + "/epoch=2"
+    )
+    filtered = {
+        (r.zoom, r.x, r.y): r.n_points
+        for r in read_tile_counts(spark, counts_path, ckpt_path).collect()
+    }
+    dirty = {
+        (r.zoom, r.x, r.y): r.n_points
+        for r in read_tile_counts(spark, counts_path).collect()
+    }
+    assert filtered == committed  # uncommitted epoch invisible
+    assert dirty != committed  # the raw read really had a dirty window
+    # once the "replay" commits epoch 2, the filtered read picks it up
+    batch(pts.limit(50), 2)
+    after = {
+        (r.zoom, r.x, r.y): r.n_points
+        for r in read_tile_counts(spark, counts_path, ckpt_path).collect()
+    }
+    assert sum(after.values()) == sum(committed.values()) + 50 * 2
+
+
+def test_read_stream_tiles_flat_schema_and_committed_filter(
+    spark, points_dir, tmp_path
+):
+    """read_stream_tiles restores the pre-epoch flat schema (no epoch
+    column) and, given the checkpoint, hides a half-written epoch."""
+    from mvtspark.streaming import make_epoch_batch_writer, read_stream_tiles
+
+    tiles_path = str(tmp_path / "tiles")
+    ckpt_path = str(tmp_path / "lineage")
+    batch = make_epoch_batch_writer(ZOOM, tiles_path, ckpt_path)
+    pts = spark.read.parquet(points_dir)
+    batch(pts.limit(200), 0)
+    committed = read_stream_tiles(spark, tiles_path, ckpt_path)
+    assert "epoch" not in committed.columns
+    n0 = committed.count()
+    assert n0 > 0
+    # crash window: epoch 1 parquet exists, no marker
+    spark.read.parquet(tiles_path + "/epoch=0").write.mode(
+        "overwrite"
+    ).parquet(tiles_path + "/epoch=1")
+    assert read_stream_tiles(spark, tiles_path, ckpt_path).count() == n0
+    assert read_stream_tiles(spark, tiles_path).count() == 2 * n0
