@@ -2585,67 +2585,17 @@ def doc_search_and(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is intentional: driver correctness sampling is
-    # time-budgeted and walks dict order, so queries whose code changed
-    # AFTER their last driver-green row come first — round 4 fronts the
-    # four r3-stale ones (frame_sample r1-row/stub→MRV codec,
-    # geojson_points r1-row/e→E fix, streaming_geofence_alerts
-    # r2-row/fence-id fix, knn_sites r2-row/ring-UDF rewrite), the five
-    # whose code changed this round (CMS multiply-shift hash, two-star
-    # convergence confirm, session-window batch ordering, zonal float
-    # preservation), then the nine queries NEW in round 4
-    # (raster_passthrough, spans, incremental, adaptive, lossy MRJ,
-    # snap, inverted-index search) which have never been sampled.
+    # time-budgeted and walks dict order. Round 5 fronts (a) the three
+    # queries whose code changed this round (snap cover slack, adaptive
+    # integer-div unpack, raster overrun guard — new r5 ops are
+    # prepended here as they land), then (b) the 52 queries last
+    # driver-sampled in rounds 1-3 (none in CORRECTNESS_r04.json) so
+    # their hard signal is renewed on HEAD, then (c) the 47 queries
+    # r4 already confirmed.
     return {
-        "frame_sample": frame_sample,
-        "geojson_points": geojson_points,
-        "streaming_geofence_alerts": streaming_geofence_alerts,
-        "knn_sites": knn_sites,
-        "cms_heavy_hitters": cms_heavy_hitters,
-        "dedup_groups": dedup_groups,
-        "dedup_groups_chain": dedup_groups_chain,
-        "streaming_session_windows": streaming_session_windows,
-        "zonal_fence_stats": zonal_fence_stats,
-        "raster_passthrough": raster_passthrough,
-        "repeated_spans": repeated_spans,
-        "span_dedup_profile": span_dedup_profile,
-        "incremental_tile_rebuild": incremental_tile_rebuild,
-        "adaptive_cover_events": adaptive_cover_events,
-        "lossy_roundtrip_psnr": lossy_roundtrip_psnr,
         "snap_nearest_segment": snap_nearest_segment,
-        "doc_search_postings": doc_search_postings,
-        "doc_search_and": doc_search_and,
-        "range_join_px": range_join_px,
-        "tile_pyramid_rollup": tile_pyramid_rollup,
-        "xyz_cell_keys": xyz_cell_keys,
-        "audio_window_features": audio_window_features,
-        "embedding_rh_lsh": embedding_rh_lsh,
-        "mvt_typed_props_roundtrip": mvt_typed_props_roundtrip,
-        "s2_cell_goldens": s2_cell_goldens,
-        "invalid_tile_suite": invalid_tile_suite,
-        "layers_index_scan": layers_index_scan,
-        "pyramid_thinned_counts": pyramid_thinned_counts,
-        "ivf_pq_ann_topk": ivf_pq_ann_topk,
-        "decontamination_overlap": decontamination_overlap,
-        "stratified_sample_split": stratified_sample_split,
-        "repetition_quality": repetition_quality,
-        "image_phash_pairs": image_phash_pairs,
-        "hex_cell_keys": hex_cell_keys,
-        "hex_kring_counts": hex_kring_counts,
-        "rasterize_tile_grid": rasterize_tile_grid,
-        "vectorize_grid_rects": vectorize_grid_rects,
-        "simplify_lines_dp": simplify_lines_dp,
-        "offset_convex_polygons": offset_convex_polygons,
-        "streaming_tile_counts": streaming_tile_counts,
-        "streaming_stateful_totals": streaming_stateful_totals,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "semi_join_customers": semi_join_customers,
-        "anti_join_customers": anti_join_customers,
-        "top_orders_per_customer": top_orders_per_customer,
-        "running_customer_spend": running_customer_spend,
-        "rollup_order_priority": rollup_order_priority,
-        "nations_set_ops": nations_set_ops,
+        "adaptive_cover_events": adaptive_cover_events,
+        "raster_passthrough": raster_passthrough,
         "distinct_users_by_type": distinct_users_by_type,
         "events_hourly": events_hourly,
         "sessionize_events": sessionize_events,
@@ -2698,6 +2648,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_parity_diff": tile_parity_diff,
         "mvt_clip_roundtrip": mvt_clip_roundtrip,
         "thumbnail_resize": thumbnail_resize,
+        "frame_sample": frame_sample,
+        "geojson_points": geojson_points,
+        "streaming_geofence_alerts": streaming_geofence_alerts,
+        "knn_sites": knn_sites,
+        "cms_heavy_hitters": cms_heavy_hitters,
+        "dedup_groups": dedup_groups,
+        "dedup_groups_chain": dedup_groups_chain,
+        "streaming_session_windows": streaming_session_windows,
+        "zonal_fence_stats": zonal_fence_stats,
+        "repeated_spans": repeated_spans,
+        "span_dedup_profile": span_dedup_profile,
+        "incremental_tile_rebuild": incremental_tile_rebuild,
+        "lossy_roundtrip_psnr": lossy_roundtrip_psnr,
+        "doc_search_postings": doc_search_postings,
+        "doc_search_and": doc_search_and,
+        "range_join_px": range_join_px,
+        "tile_pyramid_rollup": tile_pyramid_rollup,
+        "xyz_cell_keys": xyz_cell_keys,
+        "audio_window_features": audio_window_features,
+        "embedding_rh_lsh": embedding_rh_lsh,
+        "mvt_typed_props_roundtrip": mvt_typed_props_roundtrip,
+        "s2_cell_goldens": s2_cell_goldens,
+        "invalid_tile_suite": invalid_tile_suite,
+        "layers_index_scan": layers_index_scan,
+        "pyramid_thinned_counts": pyramid_thinned_counts,
+        "ivf_pq_ann_topk": ivf_pq_ann_topk,
+        "decontamination_overlap": decontamination_overlap,
+        "stratified_sample_split": stratified_sample_split,
+        "repetition_quality": repetition_quality,
+        "image_phash_pairs": image_phash_pairs,
+        "hex_cell_keys": hex_cell_keys,
+        "hex_kring_counts": hex_kring_counts,
+        "rasterize_tile_grid": rasterize_tile_grid,
+        "vectorize_grid_rects": vectorize_grid_rects,
+        "simplify_lines_dp": simplify_lines_dp,
+        "offset_convex_polygons": offset_convex_polygons,
+        "streaming_tile_counts": streaming_tile_counts,
+        "streaming_stateful_totals": streaming_stateful_totals,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "semi_join_customers": semi_join_customers,
+        "anti_join_customers": anti_join_customers,
+        "top_orders_per_customer": top_orders_per_customer,
+        "running_customer_spend": running_customer_spend,
+        "rollup_order_priority": rollup_order_priority,
+        "nations_set_ops": nations_set_ops,
     }
 
 
