@@ -2581,6 +2581,123 @@ def doc_search_and(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_OCT_BASE = [(2, 0), (6, 0), (8, 2), (8, 6), (6, 8), (2, 8), (0, 6), (0, 2)]
+
+
+def poly_union_area(spark: SparkSession, sf: str) -> DataFrame:
+    """Convex polygon boolean measures (operators/boolean.py +
+    kernels/polyclip.py) — the clipper ClipType surface
+    (src/Geometry/clipper.cs:476, :1561-1631) on the convex-pair
+    domain: ctIntersection through general-convex Sutherland–Hodgman
+    (beyond J3's rectangle-only clip window, Util.cs:104-122) and
+    ctUnion area through inclusion–exclusion, plus union ring count
+    and proper boundary crossings.
+
+    Corpus: integer rect subjects × even-coordinate octagon clip
+    windows whose edges are axis-aligned or 45° — on that grid every
+    S-H intersection point is INTEGRAL, so both engines recover exact
+    integer doubled-areas after a final round (no float discipline in
+    the compare). ORACLED by an INDEPENDENT algorithm: DuckDB builds
+    the intersection polygon as {A-verts in B} ∪ {B-verts in A} ∪
+    {edge crossings}, orders by angle around the centroid, and
+    shoelaces — agreement checks the geometry, not the instruction
+    order."""
+    from mvtspark.operators.boolean import convex_pair_union
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf, "orders").where(k % 13 == 1)
+    x0, y0 = (k * 17) % 240, (k * 29) % 240
+    x1 = x0 + 2 + (k % 40) * 2
+    y1 = y0 + 2 + ((k * 7) % 40) * 2
+    s = 2 + 2 * (k % 5)
+    tx, ty = 2 * ((k * 3) % 120), 2 * ((k * 11) % 120)
+    d = lambda c: c.cast("double")  # noqa: E731
+    pairs = o.select(
+        k.alias("pair_id"),
+        F.array(d(x0), d(x1), d(x1), d(x0)).alias("ax"),
+        F.array(d(y0), d(y0), d(y1), d(y1)).alias("ay"),
+        F.array(*[d(F.lit(ox) * s + tx) for ox, _ in _OCT_BASE]).alias("bx"),
+        F.array(*[d(F.lit(oy) * s + ty) for _, oy in _OCT_BASE]).alias("by"),
+    )
+    out = convex_pair_union(pairs)
+    return out.select(
+        "pair_id",
+        F.round("inter_area2").cast("long").alias("inter_area2"),
+        F.round("union_area2").cast("long").alias("union_area2"),
+        F.col("n_rings").cast("int").alias("n_rings"),
+        F.col("n_cross").cast("int").alias("n_cross"),
+    )
+
+
+def rect_union_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Rectilinear boolean-measure suite (operators/boolean.py
+    ``rect_union_stats``): exact union / pairwise-overlap / xor areas
+    of each group's axis-aligned integer rects from ONE
+    coordinate-compressed coverage grid — union = cnt >= 1,
+    intersection-of-any-two = cnt >= 2, symmetric difference =
+    cnt == 1 (clipper ctUnion/ctXor measures on the rectilinear
+    domain, the merged-geofence shape). ORACLED cell-for-cell: DuckDB
+    rebuilds the compressed cells with lead() windows and counts
+    covering rects per cell — everything integer-exact."""
+    from mvtspark.operators.boolean import rect_union_stats
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf, "orders").where(k % 97 == 5)
+    rects = o.select(
+        (k % 12).cast("long").alias("group_id"),
+        ((k * 7) % 20).cast("int").alias("x0"),
+        ((k * 13) % 20).cast("int").alias("y0"),
+        ((k * 7) % 20 + 1 + (k % 9)).cast("int").alias("x1"),
+        ((k * 13) % 20 + 1 + ((k * 3) % 9)).cast("int").alias("y1"),
+    )
+    return rect_union_stats(rects).select(
+        "group_id",
+        F.col("n_rects").cast("long").alias("n_rects"),
+        F.col("union_area").cast("long").alias("union_area"),
+        F.col("overlap_area").cast("long").alias("overlap_area"),
+        F.col("xor_area").cast("long").alias("xor_area"),
+    )
+
+
+def offset_rectilinear_square(spark: SparkSession, sf: str) -> DataFrame:
+    """NON-CONVEX polygon offset with square joins (operators/
+    boolean.py ``offset_rectilinear``) — clipper's jtSquare +
+    etClosedPolygon (clipper.cs:4744-5120) on the rectilinear domain,
+    lifting D17's strictly-convex-only restriction: the corpus is
+    concave L-shapes. The Minkowski sum with [-r, r]^2 is polygon ∪
+    dilated edge rectangles, measured exactly on the compressed
+    coverage grid (cell-center crossing-number PIP for the interior).
+    ORACLED: DuckDB rebuilds the same compressed cells, replays the
+    vertical-edge crossing parity and the near-edge EXISTS per cell,
+    and sums the same integer areas and cell count."""
+    from mvtspark.operators.boolean import offset_rectilinear
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf, "orders").where(k % 53 == 2)
+    a = 6 + 2 * (k % 8)
+    b = 2 + (k * 3) % 4
+    dd = 6 + 2 * ((k * 5) % 8)
+    c = 2 + (k * 7) % 4
+    z = F.lit(0)
+    rings = o.select(
+        k.alias("ring_id"),
+        F.array(
+            z.cast("int"), a.cast("int"), a.cast("int"),
+            b.cast("int"), b.cast("int"), z.cast("int"),
+        ).alias("xs"),
+        F.array(
+            z.cast("int"), z.cast("int"), c.cast("int"),
+            c.cast("int"), dd.cast("int"), dd.cast("int"),
+        ).alias("ys"),
+    )
+    return offset_rectilinear(rings, 2).select(
+        "ring_id",
+        F.col("base_area").cast("long").alias("base_area"),
+        F.col("offset_area").cast("long").alias("offset_area"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2593,6 +2710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their hard signal is renewed on HEAD, then (c) the 47 queries
     # r4 already confirmed.
     return {
+        "poly_union_area": poly_union_area,
+        "rect_union_coverage": rect_union_coverage,
+        "offset_rectilinear_square": offset_rectilinear_square,
         "snap_nearest_segment": snap_nearest_segment,
         "adaptive_cover_events": adaptive_cover_events,
         "raster_passthrough": raster_passthrough,
@@ -3191,6 +3311,207 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        # Independent algorithm (NOT an S-H replay): intersection ring =
+        # hull of {{A-verts in B}} ∪ {{B-verts in A}} ∪ {{edge
+        # crossings}}, angle-ordered shoelace. Integral on this corpus
+        # (rect × even-octagon with axis/45° edges), so the compare is
+        # exact-integer.
+        "poly_union_area": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 13 = 1),
+            pr AS (SELECT k,
+                (k*17) % 240 AS x0, (k*29) % 240 AS y0,
+                (k*17) % 240 + 2 + (k % 40)*2 AS x1,
+                (k*29) % 240 + 2 + ((k*7) % 40)*2 AS y1,
+                2 + 2*(k % 5) AS s,
+                2*((k*3) % 120) AS tx, 2*((k*11) % 120) AS ty
+              FROM ks),
+            av AS (SELECT k, i,
+                CASE i WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1
+                       ELSE x0 END AS vx,
+                CASE i WHEN 0 THEN y0 WHEN 1 THEN y0 ELSE y1 END AS vy
+              FROM pr, range(4) t(i)),
+            ob(i, ox, oy) AS (SELECT * FROM (VALUES
+              (0,2,0),(1,6,0),(2,8,2),(3,8,6),
+              (4,6,8),(5,2,8),(6,0,6),(7,0,2))),
+            bv AS (SELECT k, i, ox*s + tx AS vx, oy*s + ty AS vy
+                   FROM pr, ob),
+            ae AS (SELECT a1.k, a1.vx AS ex1, a1.vy AS ey1,
+                          a2.vx AS ex2, a2.vy AS ey2
+                   FROM av a1 JOIN av a2
+                     ON a2.k = a1.k AND a2.i = (a1.i + 1) % 4),
+            be AS (SELECT b1.k, b1.vx AS ex1, b1.vy AS ey1,
+                          b2.vx AS ex2, b2.vy AS ey2
+                   FROM bv b1 JOIN bv b2
+                     ON b2.k = b1.k AND b2.i = (b1.i + 1) % 8),
+            ain AS (SELECT v.k, v.vx, v.vy FROM av v JOIN be e ON e.k = v.k
+                    GROUP BY v.k, v.vx, v.vy
+                    HAVING min((e.ex2-e.ex1)*(v.vy-e.ey1)
+                             - (e.ey2-e.ey1)*(v.vx-e.ex1)) >= 0),
+            bin AS (SELECT v.k, v.vx, v.vy FROM bv v JOIN pr p ON p.k = v.k
+                    WHERE v.vx BETWEEN p.x0 AND p.x1
+                      AND v.vy BETWEEN p.y0 AND p.y1),
+            xr0 AS (SELECT a.k, a.ex1, a.ey1, a.ex2, a.ey2,
+                CAST((b.ex1-a.ex1)*(b.ey2-b.ey1)
+                   - (b.ey1-a.ey1)*(b.ex2-b.ex1) AS DOUBLE)
+                / ((a.ex2-a.ex1)*(b.ey2-b.ey1)
+                 - (a.ey2-a.ey1)*(b.ex2-b.ex1)) AS t,
+                CAST((b.ex1-a.ex1)*(a.ey2-a.ey1)
+                   - (b.ey1-a.ey1)*(a.ex2-a.ex1) AS DOUBLE)
+                / ((a.ex2-a.ex1)*(b.ey2-b.ey1)
+                 - (a.ey2-a.ey1)*(b.ex2-b.ex1)) AS u
+               FROM ae a JOIN be b ON b.k = a.k
+               WHERE (a.ex2-a.ex1)*(b.ey2-b.ey1)
+                   - (a.ey2-a.ey1)*(b.ex2-b.ex1) <> 0),
+            xx AS (SELECT k,
+                CAST(round(ex1 + t*(ex2-ex1)) AS BIGINT) AS vx,
+                CAST(round(ey1 + t*(ey2-ey1)) AS BIGINT) AS vy
+               FROM xr0 WHERE t BETWEEN 0 AND 1 AND u BETWEEN 0 AND 1),
+            cand AS (
+              SELECT k, CAST(vx AS BIGINT) AS vx, CAST(vy AS BIGINT) AS vy
+                FROM ain
+              UNION
+              SELECT k, CAST(vx AS BIGINT), CAST(vy AS BIGINT) FROM bin
+              UNION
+              SELECT k, vx, vy FROM xx),
+            ctr AS (SELECT k, avg(vx) AS cx, avg(vy) AS cy, count(*) AS n
+                    FROM cand GROUP BY k),
+            op AS (SELECT c.k, c.vx, c.vy, t.n,
+                row_number() OVER (PARTITION BY c.k ORDER BY
+                  atan2(CAST(c.vy AS DOUBLE) - t.cy,
+                        CAST(c.vx AS DOUBLE) - t.cx),
+                  (c.vx-t.cx)*(c.vx-t.cx) + (c.vy-t.cy)*(c.vy-t.cy)) AS rn
+               FROM cand c JOIN ctr t USING (k)),
+            shoe AS (SELECT p.k, SUM(p.vx*q.vy - q.vx*p.vy) AS raw,
+                            max(p.n) AS n
+                     FROM op p JOIN op q
+                       ON q.k = p.k AND q.rn = p.rn % p.n + 1
+                     GROUP BY p.k),
+            inter AS (SELECT p.k,
+                COALESCE(CASE WHEN s.n >= 3 THEN GREATEST(s.raw, 0)
+                              ELSE 0 END, 0) AS i2
+               FROM pr p LEFT JOIN shoe s ON s.k = p.k),
+            ncr AS (SELECT a.k, count(*) AS nx
+                    FROM ae a JOIN be b ON b.k = a.k
+                    WHERE ((a.ex2-a.ex1)*(b.ey1-a.ey1)
+                         - (a.ey2-a.ey1)*(b.ex1-a.ex1))
+                        * ((a.ex2-a.ex1)*(b.ey2-a.ey1)
+                         - (a.ey2-a.ey1)*(b.ex2-a.ex1)) < 0
+                      AND ((b.ex2-b.ex1)*(a.ey1-b.ey1)
+                         - (b.ey2-b.ey1)*(a.ex1-b.ex1))
+                        * ((b.ex2-b.ex1)*(a.ey2-b.ey1)
+                         - (b.ey2-b.ey1)*(a.ex2-b.ex1)) < 0
+                    GROUP BY a.k)
+            SELECT p.k AS pair_id,
+              CAST(i.i2 AS BIGINT) AS inter_area2,
+              CAST(2*(p.x1-p.x0)*(p.y1-p.y0) + 112*p.s*p.s - i.i2
+                   AS BIGINT) AS union_area2,
+              CAST(CASE WHEN i.i2 > 0 THEN 1 ELSE 2 END AS INT) AS n_rings,
+              CAST(COALESCE(x.nx, 0) AS INT) AS n_cross
+            FROM pr p JOIN inter i ON i.k = p.k
+            LEFT JOIN ncr x ON x.k = p.k
+        """,
+        # coordinate-compressed coverage replay: compressed cells from
+        # lead() windows, covering-rect counts per cell, area sums by
+        # the same cnt>=1 / cnt>=2 / cnt=1 rules — all integer
+        "rect_union_coverage": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 97 = 5),
+            r AS (SELECT k % 12 AS g,
+                (k*7) % 20 AS x0, (k*13) % 20 AS y0,
+                (k*7) % 20 + 1 + (k % 9) AS x1,
+                (k*13) % 20 + 1 + ((k*3) % 9) AS y1
+              FROM ks),
+            xs AS (SELECT DISTINCT g, x FROM (
+                SELECT g, x0 AS x FROM r UNION ALL SELECT g, x1 FROM r)),
+            xc AS (SELECT g, x AS cx0,
+                     lead(x) OVER (PARTITION BY g ORDER BY x) AS cx1
+                   FROM xs),
+            ys AS (SELECT DISTINCT g, y FROM (
+                SELECT g, y0 AS y FROM r UNION ALL SELECT g, y1 FROM r)),
+            yc AS (SELECT g, y AS cy0,
+                     lead(y) OVER (PARTITION BY g ORDER BY y) AS cy1
+                   FROM ys),
+            cells AS (SELECT xc.g, cx0, cx1, cy0, cy1
+                      FROM xc JOIN yc ON yc.g = xc.g
+                      WHERE cx1 IS NOT NULL AND cy1 IS NOT NULL),
+            cov AS (SELECT c.g, c.cx0, c.cy0, c.cx1, c.cy1,
+                      count(r.x0) AS cnt
+                    FROM cells c LEFT JOIN r
+                      ON r.g = c.g AND r.x0 <= c.cx0 AND r.x1 >= c.cx1
+                     AND r.y0 <= c.cy0 AND r.y1 >= c.cy1
+                    GROUP BY ALL),
+            nr AS (SELECT g, count(*) AS n_rects FROM r GROUP BY g)
+            SELECT n.g AS group_id,
+              CAST(n.n_rects AS BIGINT) AS n_rects,
+              CAST(COALESCE(SUM((cx1-cx0)*(cy1-cy0))
+                FILTER (WHERE cnt >= 1), 0) AS BIGINT) AS union_area,
+              CAST(COALESCE(SUM((cx1-cx0)*(cy1-cy0))
+                FILTER (WHERE cnt >= 2), 0) AS BIGINT) AS overlap_area,
+              CAST(COALESCE(SUM((cx1-cx0)*(cy1-cy0))
+                FILTER (WHERE cnt = 1), 0) AS BIGINT) AS xor_area
+            FROM nr n JOIN cov ON cov.g = n.g
+            GROUP BY n.g, n.n_rects
+        """,
+        # square-join offset replay on the L-shape corpus (r = 2):
+        # same compressed grid ({v, v-2, v+2} coords), vertical-edge
+        # crossing parity for the interior, dilated-edge-rect EXISTS
+        # for the boundary band — integer cell areas throughout
+        "offset_rectilinear_square": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 53 = 2),
+            pp AS (SELECT k, 6 + 2*(k % 8) AS a, 2 + (k*3) % 4 AS b,
+                          6 + 2*((k*5) % 8) AS d, 2 + (k*7) % 4 AS c
+                   FROM ks),
+            v AS (SELECT k, i,
+                CASE i WHEN 0 THEN 0 WHEN 1 THEN a WHEN 2 THEN a
+                       WHEN 3 THEN b WHEN 4 THEN b ELSE 0 END AS vx,
+                CASE i WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN c
+                       WHEN 3 THEN c ELSE d END AS vy
+              FROM pp, range(6) t(i)),
+            e AS (SELECT v1.k, v1.vx AS ex1, v1.vy AS ey1,
+                         v2.vx AS ex2, v2.vy AS ey2
+                  FROM v v1 JOIN v v2
+                    ON v2.k = v1.k AND v2.i = (v1.i + 1) % 6),
+            xs AS (SELECT DISTINCT k, x FROM (
+                SELECT k, vx AS x FROM v
+                UNION ALL SELECT k, vx - 2 FROM v
+                UNION ALL SELECT k, vx + 2 FROM v)),
+            xc AS (SELECT k, x AS cx0,
+                     lead(x) OVER (PARTITION BY k ORDER BY x) AS cx1
+                   FROM xs),
+            ys AS (SELECT DISTINCT k, y FROM (
+                SELECT k, vy AS y FROM v
+                UNION ALL SELECT k, vy - 2 FROM v
+                UNION ALL SELECT k, vy + 2 FROM v)),
+            yc AS (SELECT k, y AS cy0,
+                     lead(y) OVER (PARTITION BY k ORDER BY y) AS cy1
+                   FROM ys),
+            cells AS (SELECT xc.k, cx0, cx1, cy0, cy1,
+                        (cx0 + cx1)/2.0 AS mx, (cy0 + cy1)/2.0 AS my
+                      FROM xc JOIN yc ON yc.k = xc.k
+                      WHERE cx1 IS NOT NULL AND cy1 IS NOT NULL),
+            pip AS (SELECT c.k, c.cx0, c.cy0, c.cx1, c.cy1,
+                SUM(CASE WHEN e.ex1 = e.ex2 AND e.ex1 > c.mx
+                      AND least(e.ey1, e.ey2) < c.my
+                      AND greatest(e.ey1, e.ey2) > c.my
+                     THEN 1 ELSE 0 END) % 2 = 1 AS inside,
+                bool_or(c.mx >= least(e.ex1, e.ex2) - 2
+                    AND c.mx <= greatest(e.ex1, e.ex2) + 2
+                    AND c.my >= least(e.ey1, e.ey2) - 2
+                    AND c.my <= greatest(e.ey1, e.ey2) + 2) AS near
+               FROM cells c JOIN e ON e.k = c.k
+               GROUP BY ALL)
+            SELECT k AS ring_id,
+              CAST(SUM(CASE WHEN inside
+                THEN (cx1-cx0)*(cy1-cy0) ELSE 0 END) AS BIGINT) AS base_area,
+              CAST(SUM(CASE WHEN inside OR near
+                THEN (cx1-cx0)*(cy1-cy0) ELSE 0 END)
+                AS BIGINT) AS offset_area,
+              CAST(SUM(CASE WHEN inside OR near THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cells
+            FROM pip GROUP BY k
+        """,
         "repeated_spans": f"""
             WITH {_SPAN_BASE},
             agg AS (SELECT span_key,

@@ -365,18 +365,26 @@ def mvt_decode_refmix_job(spark):
     return 210, nfeat, nvert
 
 
-def image_transcode_job(spark, n_images: int = 2000):
+def image_transcode_job(spark, n_images: int = 16_000):
     """Axis-B (image payload) throughput: decode every synthetic image
     (raw + PNG mix), transcode it through the from-scratch MRJ lossy
     codec, decode THAT back and verify PSNR >= 40 dB per row — the
     input_hint's per-row invariant measured at rate. Returns
-    (n_images, n_psnr_ok, total_bytes_in)."""
+    (n_images, n_psnr_ok, total_bytes_in).
+
+    Corpus sizing (round 5): 16k images (~78 MB) with one partition
+    per core. The old 2k/8-partition corpus was fixed-overhead bound —
+    ~1 s of job setup over ~0.8 s of work read as 6 MB/s while the
+    transcode itself ran 12 MB/s; at 16k@32p the measured rate is the
+    codec's (synthesis included), and parallel efficiency is visible
+    instead of drowned (measured 8p 11.7 / 16p 17.7 / 32p 22.0 MB/s on
+    the same corpus)."""
     from pyspark.sql import functions as F
 
     from mvtspark.operators.multimodal import transcode_images_mrj
     from mvtspark.sources.images import synth_images
 
-    t = transcode_images_mrj(synth_images(spark, n_images))
+    t = transcode_images_mrj(synth_images(spark, n_images, partitions=CPUS))
     row = t.agg(
         F.count(F.lit(1)).alias("n"),
         # coalesce: an all-error batch must report ok=0, not crash the
@@ -467,6 +475,33 @@ def _cal_probe(spark, cal: dict[str, float], tag: str) -> None:
     cal[tag] = round(best, 3)
 
 
+def _host_spiked(cal: dict[str, float]) -> bool:
+    """True when the latest calibration probe read >3x the best probe
+    of THIS run — the constant-work probe only moves with host load, so
+    the neighboring query timing is suspect."""
+    vals = list(cal.values())
+    return len(vals) >= 2 and vals[-1] > 3.0 * min(vals)
+
+
+def _retime_if_spiked(
+    spark, cal: dict[str, float], reruns: dict[str, int],
+    tag: str, run, best: float,
+) -> float:
+    """One extra timing pass when the probe right after ``tag`` shows a
+    host spike: a single loaded window can't distort the number (the
+    rerun's own probe lands in ``cal`` as ``tag + "_rerun"``). Rerun
+    counts ship in the report JSON so a driver round with many reruns
+    is self-evidencing."""
+    if not _host_spiked(cal):
+        return best
+    t0 = time.time()
+    run()
+    again = time.time() - t0
+    reruns[tag] = reruns.get(tag, 0) + 1
+    _cal_probe(spark, cal, tag + "_rerun")
+    return min(best, again)
+
+
 def run_worker(job: str, cores: int, points_path: str) -> dict:
     spark = _spark(cores)
     n = int(os.environ.get("BENCH_N_POINTS", "16000000"))
@@ -486,7 +521,9 @@ def run_worker(job: str, cores: int, points_path: str) -> dict:
     }
 
 
-def suite(spark, cal: dict[str, float]) -> dict[str, float]:
+def suite(
+    spark, cal: dict[str, float], reruns: dict[str, int] | None = None
+) -> dict[str, float]:
     """Headline per-query timings at SF_DIR (driver contract queries —
     the ones that exercise distinct plan shapes at scale). Round 4 adds
     the round-3 operators (pyramid thinning, IVFADC, CMS, zonal stats,
@@ -508,6 +545,7 @@ def suite(spark, cal: dict[str, float]) -> dict[str, float]:
         "adaptive_cover_events",
     ]
     out: dict[str, float] = {}
+    reruns = {} if reruns is None else reruns
     calibration_job(spark)  # compile the probe's codegen once, off-clock
     _cal_probe(spark, cal, "_start")
     for name in names:
@@ -517,8 +555,9 @@ def suite(spark, cal: dict[str, float]) -> dict[str, float]:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
         avg, _, _ = timed(run)
-        out[name] = round(avg, 3)
         _cal_probe(spark, cal, name)
+        avg = _retime_if_spiked(spark, cal, reruns, name, run, avg)
+        out[name] = round(avg, 3)
     return out
 
 
@@ -606,19 +645,33 @@ def main() -> None:
     spark = _spark(CPUS)
     gen_points(spark, n_points, args.points)
     cal: dict[str, float] = {}
-    q = suite(spark, cal)
+    reruns: dict[str, int] = {}
+    q = suite(spark, cal, reruns)
     sp_avg, _, (rows, tiles) = timed(lambda: spatial_job(spark, args.points))
-    q["spatial_join_pipeline"] = round(sp_avg, 3)
     _cal_probe(spark, cal, "spatial_join_pipeline")
+    sp_avg = _retime_if_spiked(
+        spark, cal, reruns, "spatial_join_pipeline",
+        lambda: spatial_job(spark, args.points), sp_avg,
+    )
+    q["spatial_join_pipeline"] = round(sp_avg, 3)
     mv_avg, _, n_feats = timed(lambda: mvt_codec_job(spark, args.points))
-    q["mvt_encode_decode"] = round(mv_avg, 3)
     _cal_probe(spark, cal, "mvt_encode_decode")
+    mv_avg = _retime_if_spiked(
+        spark, cal, reruns, "mvt_encode_decode",
+        lambda: mvt_codec_job(spark, args.points), mv_avg,
+    )
+    q["mvt_encode_decode"] = round(mv_avg, 3)
     rd_avg, _, (rt, rf, rv) = timed(lambda: mvt_decode_ref_job(spark))
     q["mvt_decode_ref"] = round(rd_avg, 3)
     rm_avg, _, (mt, mf, mv) = timed(lambda: mvt_decode_refmix_job(spark))
     q["mvt_decode_refmix"] = round(rm_avg, 3)
     im_avg, _, (im_n, im_ok, im_bytes) = timed(
         lambda: image_transcode_job(spark)
+    )
+    _cal_probe(spark, cal, "image_transcode_mrj")
+    im_avg = _retime_if_spiked(
+        spark, cal, reruns, "image_transcode_mrj",
+        lambda: image_transcode_job(spark), im_avg,
     )
     q["image_transcode_mrj"] = round(im_avg, 3)
     _cal_probe(spark, cal, "_end")
@@ -649,6 +702,9 @@ def main() -> None:
         "images_psnr_ok": im_ok,
         "images_per_sec": round(im_n / im_avg, 1),
         "image_mb_per_sec": round(im_bytes / im_avg / 1e6, 2),
+        # queries re-timed once because the calibration probe right
+        # after them read >3x this run's best probe (host spike window)
+        "reruns": reruns,
         # constant-work host probe interleaved between every item:
         # identical work each sample, so spread == host noise during
         # THIS run. steady_ratio_max_min near 1 => clean run; >> 1 =>

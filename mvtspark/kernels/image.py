@@ -223,6 +223,85 @@ def decode_mrj(data: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
 
 
+_MRJ_CHUNK_BYTES = 8_000_000  # largest float64 temp per chunk (~8 MB):
+# full-stack temps fall out of cache and measured slower (the
+# phash64_batch lesson); per-shape chunks keep the DCT working set hot.
+
+
+def mrj_roundtrip_batch(
+    stack: np.ndarray, qstep: int = 4
+) -> tuple[list[bytes], np.ndarray, np.ndarray]:
+    """encode_mrj + decode_mrj verification over a same-shape
+    (n, h, w, 3) uint8 stack → (encoded payloads, per-image
+    sum(|err|) int64, per-image SSE float64).
+
+    BYTE-IDENTICAL to the per-image encode_mrj: padding / color
+    transform / round are elementwise, zlib runs per image on the same
+    coefficient bytes, and the einsum keeps the 4-D pattern with one
+    leading batch axis ("ij,nabjk,lk->nabil"). As with phash64_batch,
+    the einsum identity is EMPIRICAL, not structural — flattening the
+    block axes instead ("ij,qjk,lk->qil") measurably reassociates — so
+    tests/test_kernels_image.py pins batch-vs-per-image per-byte across
+    the synthetic shape universe and the frozen lossy_roundtrip_psnr
+    goldens are the second net. The verification decode reuses the
+    already-quantized int16 coefficients with decode_mrj's exact einsum
+    pattern (batch axis added), so the reported error is the true
+    round-trip error: association here matters too, because a flat
+    block reconstructs within 1 ulp of an exact x.5 pixel boundary and
+    a reassociated inverse DCT could flip round() and drift the
+    golden-pinned sum_abs_err."""
+    if not 1 <= qstep <= 255:
+        raise ValueError(f"qstep {qstep} out of range 1..255")
+    n, h, w, _ = stack.shape
+    if w > 0xFFFF or h > 0xFFFF:
+        raise ValueError(f"image {w}x{h} exceeds the 65535 MRJ dim limit")
+    hh, ww = h + (-h) % 8, w + (-w) % 8
+    header = struct.pack("<4sHHB", _MRJ_MAGIC, w, h, qstep)
+    c = _dct8()
+    chunk = max(1, _MRJ_CHUNK_BYTES // (hh * ww * 3 * 8))
+    payloads: list[bytes] = []
+    abs_err = np.empty(n, dtype=np.int64)
+    sse = np.empty(n, dtype=np.float64)
+    for s in range(0, n, chunk):
+        sub = stack[s : s + chunk]
+        k = sub.shape[0]
+        p = np.pad(
+            sub, ((0, 0), (0, hh - h), (0, ww - w), (0, 0)), mode="edge"
+        ).astype(np.float64)
+        r, g, b = p[..., 0], p[..., 1], p[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 + (b - y) * 0.564
+        cr = 128.0 + (r - y) * 0.713
+        quant = []  # per channel: (k, hh/8, ww/8, 8, 8) int16
+        for ch in (y, cb, cr):
+            blk = ch.reshape(k, hh // 8, 8, ww // 8, 8).transpose(
+                0, 1, 3, 2, 4
+            )
+            coef = np.einsum("ij,nabjk,lk->nabil", c, blk - 128.0, c)
+            quant.append(np.round(coef / qstep).astype("<i2"))
+        for j in range(k):
+            body = b"".join(q[j].tobytes() for q in quant)
+            payloads.append(header + zlib.compress(body, 6))
+        # verification decode from the SAME quantized coefficients
+        chans = []
+        for q in quant:
+            deq = q.astype(np.float64) * qstep
+            blk = np.einsum("ji,nabjk,kl->nabil", c, deq, c) + 128.0
+            chans.append(
+                blk.transpose(0, 1, 3, 2, 4).reshape(k, hh, ww)
+            )
+        yd, cbd, crd = chans
+        rd = yd + (crd - 128.0) / 0.713
+        bd = yd + (cbd - 128.0) / 0.564
+        gd = (yd - 0.299 * rd - 0.114 * bd) / 0.587
+        rgb = np.stack([rd, gd, bd], axis=-1)
+        dec = np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:, :h, :w]
+        diff = dec.astype(np.int64) - sub.astype(np.int64)
+        abs_err[s : s + k] = np.abs(diff).sum(axis=(1, 2, 3))
+        sse[s : s + k] = (diff.astype(np.float64) ** 2).sum(axis=(1, 2, 3))
+    return payloads, abs_err, sse
+
+
 # ---------------------------------------------------------------------------
 # metrics
 # ---------------------------------------------------------------------------

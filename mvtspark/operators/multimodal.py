@@ -150,46 +150,75 @@ def transcode_images_mrj(images: DataFrame, qstep: int = 4) -> DataFrame:
     zlib) and verify the round trip in the same pass: exact integer
     |error| sum + PSNR (x100, integer) against the source pixels — the
     BASELINE input_hint's "PSNR >= 40 dB for lossy" invariant measured
-    for real, per row. Per-row loop is per IMAGE; all pixel work is
-    vectorized numpy inside the codec (einsum over every 8x8 block at
-    once). Undecodable rows carry the error instead of failing the job.
+    for real, per row.
+
+    Shape-batched like channel_sums/pHash/resize: each Arrow batch
+    groups by (w, h, fmt), stacks the group to (n, h, w, 3), and runs
+    the whole DCT/quantize/verify pipeline on the stack
+    (kernels/image.py::mrj_roundtrip_batch — byte-identical to the
+    per-image codec, pinned per-byte in tests; zlib stays per image).
+    A failing group falls back to per-image so undecodable rows carry
+    their error instead of failing the job. Single-thread the DCT
+    einsum dominates either way (its summation order is pinned by the
+    frozen goldens, so it cannot be traded for BLAS matmuls); the
+    batching removes the per-row Python/pandas overhead and keeps the
+    per-byte cost flat as rows-per-batch grows.
     """
 
     def _tc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from mvtspark.kernels.image import decode_image, decode_mrj, encode_mrj
+        from mvtspark.kernels.image import (
+            decode_image,
+            decode_mrj,
+            encode_mrj,
+            mrj_roundtrip_batch,
+        )
 
         cols = [c.split()[0] for c in TRANSCODE_SCHEMA.split(", ")]
+
+        def _one(rec, blob, w, h, fmt):
+            img = decode_image(blob, w, h, fmt)
+            enc = encode_mrj(img, qstep)
+            dec = decode_mrj(enc)
+            diff = dec.astype(np.int64) - img.astype(np.int64)
+            _fill(rec, blob, w, h, enc, int(np.abs(diff).sum()),
+                  float((diff.astype(np.float64) ** 2).sum()))
+
+        def _fill(rec, blob, w, h, enc, abs_err, sse):
+            n = w * h * 3
+            p = (
+                10.0 * np.log10(255.0 * 255.0 * n / sse)
+                if sse else float("inf")
+            )
+            rec.update(
+                mrj=enc, w=w, h=h, n_px=w * h,
+                orig_len=len(blob), enc_len=len(enc),
+                sum_abs_err=abs_err,
+                psnr_x100=int(round(p * 100)) if sse else 10**9,
+            )
+
         for pdf in batches:
-            rows = []
-            for row in pdf.itertuples(index=False):
-                rec = dict.fromkeys(cols)
-                rec["image_id"] = row.image_id
+            recs = [
+                {"image_id": i, **dict.fromkeys(cols[1:])}
+                for i in pdf["image_id"]
+            ]
+            grp = pdf.groupby(["w", "h", "fmt"], dropna=False).indices.items()
+            for (w, h, fmt), poss in grp:
+                raw = pdf["bytes"].iloc[poss]
                 try:
-                    img = decode_image(
-                        bytes(row.bytes), int(row.w), int(row.h), row.fmt
-                    )
-                    enc = encode_mrj(img, qstep)
-                    dec = decode_mrj(enc)
-                    diff = dec.astype(np.int64) - img.astype(np.int64)
-                    sse = float((diff * diff).sum())
-                    n = img.size
-                    p = (
-                        10.0 * np.log10(255.0 * 255.0 * n / sse)
-                        if sse else float("inf")
-                    )
-                    rec.update(
-                        mrj=enc, w=int(row.w), h=int(row.h),
-                        n_px=int(row.w) * int(row.h),
-                        orig_len=len(bytes(row.bytes)), enc_len=len(enc),
-                        sum_abs_err=int(np.abs(diff).sum()),
-                        psnr_x100=int(round(p * 100)) if sse else 10**9,
-                    )
-                except Exception as e:
-                    rec["error"] = str(e)
-                rows.append(rec)
-            yield pd.DataFrame(rows, columns=cols)
+                    stack = _decode_stack(raw, int(w), int(h), fmt)
+                    encs, abs_err, sse = mrj_roundtrip_batch(stack, qstep)
+                    for j, p_ in enumerate(poss):
+                        _fill(recs[p_], bytes(raw.iloc[j]), int(w), int(h),
+                              encs[j], int(abs_err[j]), float(sse[j]))
+                except Exception:
+                    for p_, b in zip(poss, raw):
+                        try:
+                            _one(recs[p_], bytes(b), int(w), int(h), fmt)
+                        except Exception as e:
+                            recs[p_]["error"] = str(e)
+            yield pd.DataFrame(recs, columns=cols)
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         _tc, TRANSCODE_SCHEMA

@@ -263,3 +263,79 @@ def test_mrj_lossy_codec_psnr_and_compression():
         image.decode_mrj(image.encode_mrj(img)[:40] + b"x")
     with pytest.raises(ValueError):
         image.encode_mrj(img, qstep=0)
+
+
+def test_mrj_batch_byte_identical():
+    """mrj_roundtrip_batch must emit BYTE-identical payloads to the
+    per-image encode_mrj (the frozen lossy_roundtrip_psnr goldens were
+    minted by the per-image path) and the exact decode_mrj round-trip
+    error metrics. Like phash64_batch, the einsum identity is empirical
+    — this pins every (w, h) in the synthetic shape universe on both
+    codecs, a chunk seam, smooth + noise content, and several qsteps."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i in range(600):
+        data, w, h, fmt = image.synth_image(i)
+        groups[(w, h)].append(image.decode_image(data, w, h, fmt))
+    assert len(groups) == 16
+    for (w, h), ims in sorted(groups.items()):
+        # half smooth content: flat blocks reconstruct within 1 ulp of
+        # x.5 pixel boundaries — the association danger zone
+        for j in range(len(ims) // 2):
+            ims[j] = (ims[j] // 64) * 64
+        stack = np.stack(ims)
+        for q in (1, 4, 9):
+            encs, abs_err, sse = image.mrj_roundtrip_batch(stack, q)
+            for j, img in enumerate(ims):
+                ref = image.encode_mrj(img, q)
+                assert encs[j] == ref, (w, h, q, j)
+                dec = image.decode_mrj(ref)
+                d = dec.astype(np.int64) - img.astype(np.int64)
+                assert abs_err[j] == np.abs(d).sum(), (w, h, q, j)
+                assert sse[j] == float((d.astype(np.float64) ** 2).sum())
+    # chunk seam: force multiple chunks through one big flat-ish group
+    big = np.stack([ims[0]] * 3 + ims[:5] * 40)
+    encs, _, _ = image.mrj_roundtrip_batch(big, 4)
+    refs = [image.encode_mrj(im, 4) for im in big]
+    assert encs == refs
+
+
+def test_transcode_batch_matches_per_image_and_isolates_errors(spark):
+    """Shape-batched transcode_images_mrj: identical rows to what the
+    per-image codec yields, and a corrupt payload only fails its own
+    row (group falls back per-image)."""
+    import numpy as np
+
+    from mvtspark.kernels.image import (
+        decode_image,
+        decode_mrj,
+        encode_mrj,
+        synth_image,
+    )
+    from mvtspark.operators.multimodal import transcode_images_mrj
+    from mvtspark.sources.images import synth_images
+
+    base = synth_images(spark, 24).collect()
+    rows = [(r.image_id, bytes(r.bytes), r.w, r.h, r.fmt) for r in base]
+    bad_id = next(r[0] for r in rows if r[4] == "raw")
+    rows = [
+        (i, b[:9] if i == bad_id else b, w, h, f) for i, b, w, h, f in rows
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r.image_id: r for r in transcode_images_mrj(df, 4).collect()}
+    assert got[bad_id].mrj is None and got[bad_id].error
+    for r in base:
+        if r.image_id == bad_id:
+            continue
+        data, w, h, fmt = synth_image(int(r.image_id[3:]))
+        img = decode_image(data, w, h, fmt)
+        enc = encode_mrj(img, 4)
+        g = got[r.image_id]
+        assert bytes(g.mrj) == enc and g.error is None
+        dec = decode_mrj(enc)
+        d = dec.astype(np.int64) - img.astype(np.int64)
+        assert g.sum_abs_err == np.abs(d).sum()
+        assert g.enc_len == len(enc) and g.n_px == w * h
