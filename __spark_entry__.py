@@ -2556,6 +2556,42 @@ def snap_nearest_segment(spark: SparkSession, sf: str) -> DataFrame:
     return snap_to_segments(pts, segs, radius=64.0)
 
 
+def snap_topk_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-matching CANDIDATE generator (operators/snap.py
+    ``snap_topk_segments``): the 4 nearest segments within 64 px per
+    event point — the HMM emission set, not just the argmin. Same
+    broadcast cell-cover join as snap_nearest_segment; the per-point
+    bottom-k runs as a rank window with WindowGroupLimit pushdown
+    (partial top-k before the one point-keyed shuffle — plan-pinned in
+    tests). Ties break by seg_id, the same (distance, id) total order
+    the argmin packs, so rank 1 IS the argmin winner. ORACLED: DuckDB
+    brute-forces the full distance matrix and replays the identical
+    row_number ordering."""
+    from mvtspark.operators.snap import snap_topk_segments as _topk
+
+    e = F.col("event_id")
+    pts = _t(spark, sf, "events").select(
+        e.alias("point_id"),
+        ((e * 48271) % 4096).cast("double").alias("px"),
+        ((e * 69621) % 4096).cast("double").alias("py"),
+    )
+    i = F.col("id")
+    segs = spark.range(200).select(
+        i.cast("int").alias("seg_id"),
+        ((i * 7919) % 4096).cast("double").alias("ax"),
+        ((i * 104729) % 4096).cast("double").alias("ay"),
+        (
+            (i * 7919) % 4096
+            + F.when(i == 0, F.lit(0)).otherwise((i * 131) % 512 - 256)
+        ).cast("double").alias("bx"),
+        (
+            (i * 104729) % 4096
+            + F.when(i == 0, F.lit(0)).otherwise((i * 211) % 512 - 256)
+        ).cast("double").alias("by"),
+    )
+    return _topk(pts, segs, radius=64.0, k=4)
+
+
 def doc_search_postings(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted-index BUILD (operators/search.py): (term, doc_id, tf)
     postings over the documents corpus — one explode + one aggregation
@@ -2711,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 already confirmed.
     return {
         "poly_union_area": poly_union_area,
+        "snap_topk_segments": snap_topk_segments,
         "rect_union_coverage": rect_union_coverage,
         "offset_rectilinear_square": offset_rectilinear_square,
         "snap_nearest_segment": snap_nearest_segment,
@@ -3629,6 +3666,43 @@ def oracle_sql() -> dict[str, str]:
               CAST(pack % 100000 AS BIGINT) AS seg_id,
               CAST(pack // 100000 AS BIGINT) AS dist2_x10k
             FROM best
+        """,
+        "snap_topk_segments": """
+            WITH pts AS (SELECT event_id AS point_id,
+                CAST((event_id * 48271) % 4096 AS DOUBLE) AS px,
+                CAST((event_id * 69621) % 4096 AS DOUBLE) AS py
+              FROM events),
+            segs AS (SELECT CAST(i AS INT) AS seg_id,
+                CAST((i * 7919) % 4096 AS DOUBLE) AS ax,
+                CAST((i * 104729) % 4096 AS DOUBLE) AS ay,
+                CAST((i * 7919) % 4096
+                  + CASE WHEN i = 0 THEN 0 ELSE (i * 131) % 512 - 256 END
+                  AS DOUBLE) AS bx,
+                CAST((i * 104729) % 4096
+                  + CASE WHEN i = 0 THEN 0 ELSE (i * 211) % 512 - 256 END
+                  AS DOUBLE) AS by
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range(200))),
+            d AS (SELECT point_id,
+                CAST(ROUND(((px - (ax + t * dx)) * (px - (ax + t * dx))
+                          + (py - (ay + t * dy)) * (py - (ay + t * dy)))
+                          * 10000, 0) AS BIGINT) AS d2s,
+                CAST(seg_id AS BIGINT) AS sid
+              FROM (SELECT point_id, px, py, seg_id, ax, ay, dx, dy,
+                  LEAST(1.0, GREATEST(0.0,
+                    ((px - ax) * dx + (py - ay) * dy)
+                    / (CASE WHEN dx * dx + dy * dy = 0 THEN 1.0
+                            ELSE dx * dx + dy * dy END))) AS t
+                FROM (SELECT p.point_id, p.px, p.py, s.seg_id, s.ax, s.ay,
+                        s.bx - s.ax AS dx, s.by - s.ay AS dy
+                      FROM pts p CROSS JOIN segs s))),
+            rk AS (SELECT point_id, d2s, sid,
+                row_number() OVER (PARTITION BY point_id
+                                   ORDER BY d2s, sid) AS rank
+              FROM d WHERE d2s <= 64 * 64 * 10000)
+            SELECT point_id, CAST(rank AS INT) AS rank,
+              CAST(sid AS BIGINT) AS seg_id,
+              CAST(d2s AS BIGINT) AS dist2_x10k
+            FROM rk WHERE rank <= 4
         """,
         "lossy_roundtrip_psnr": f"""
             SELECT image_id,

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # distance² is rounded at x10^4 scale BEFORE the argmin (cross-engine
@@ -74,18 +74,17 @@ def _point_segment_d2(px, py, ax, ay, bx, by) -> Column:
     return ex * ex + ey * ey
 
 
-def snap_to_segments(
+def _gated_candidates(
     points: DataFrame,
     segments: DataFrame,
     radius: float,
-    point_id: str = "point_id",
-    x_col: str = "px",
-    y_col: str = "py",
+    point_id: str,
+    x_col: str,
+    y_col: str,
 ) -> DataFrame:
-    """(point_id, seg_id, dist2_x10k) — the nearest segment within
-    ``radius`` per point (points farther than radius from every segment
-    are dropped). ``segments`` must carry (seg_id, ax, ay, bx, by);
-    seg_id must be < 100000 (argmin pack slot — asserted in the plan).
+    """(point_id, _d2s, _sid): every (point, segment) pair the rounded
+    radius gate admits, via the broadcast cell-cover equi-join — the
+    shared candidate generator of the argmin snap and the top-k snap.
     """
     cell = float(radius)
     # The gate compares the ROUNDED distance² (x10^4) to radius², so a
@@ -113,12 +112,30 @@ def snap_to_segments(
         (F.col("seg_id") >= 0) & (F.col("seg_id") < _SEG_SLOT),
         "seg_id outside [0, 100000): would corrupt the argmin pack",
     ).isNull()
-    cand = j.select(
+    return j.select(
         point_id,
         F.round(d2 * _D2_SCALE, 0).cast("long").alias("_d2s"),
         F.col("seg_id").cast("long").alias("_sid"),
     ).where(
         (F.col("_d2s") <= int(radius * radius * _D2_SCALE)) & guard
+    )
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: float,
+    point_id: str = "point_id",
+    x_col: str = "px",
+    y_col: str = "py",
+) -> DataFrame:
+    """(point_id, seg_id, dist2_x10k) — the nearest segment within
+    ``radius`` per point (points farther than radius from every segment
+    are dropped). ``segments`` must carry (seg_id, ax, ay, bx, by);
+    seg_id must be < 100000 (argmin pack slot — asserted in the plan).
+    """
+    cand = _gated_candidates(
+        points, segments, radius, point_id, x_col, y_col
     )
     best = cand.groupBy(point_id).agg(
         F.min(F.col("_d2s") * _SEG_SLOT + F.col("_sid")).alias("_pack")
@@ -127,4 +144,43 @@ def snap_to_segments(
         point_id,
         (F.col("_pack") % _SEG_SLOT).cast("long").alias("seg_id"),
         F.expr(f"_pack div {_SEG_SLOT}").cast("long").alias("dist2_x10k"),
+    )
+
+
+def snap_topk_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: float,
+    k: int,
+    point_id: str = "point_id",
+    x_col: str = "px",
+    y_col: str = "py",
+) -> DataFrame:
+    """(point_id, rank, seg_id, dist2_x10k) — the k nearest segments
+    within ``radius`` per point, rank 1 = closest; ties broken by
+    seg_id (the same (distance, id) total order the argmin packs, so
+    rank 1 here IS snap_to_segments' winner). This is the map-matching
+    candidate generator: an HMM emission step needs the k plausible
+    road segments per GPS ping, not just the argmin.
+
+    Scale shape: identical candidate join to the argmin snap (broadcast
+    cell cover, one equi-join), then ONE shuffle on point_id for the
+    per-point bottom-k — Spark plans it as a rank window with
+    WindowGroupLimit pushdown (partial top-k per map partition before
+    the exchange, like O4/O5's top_orders_per_customer), so the shuffle
+    carries at most k rows per (partition, point), not every candidate.
+    """
+    cand = _gated_candidates(
+        points, segments, radius, point_id, x_col, y_col
+    )
+    w = Window.partitionBy(point_id).orderBy("_d2s", "_sid")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            point_id,
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_sid").cast("long").alias("seg_id"),
+            F.col("_d2s").cast("long").alias("dist2_x10k"),
+        )
     )

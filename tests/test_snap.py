@@ -109,3 +109,56 @@ def test_rounding_slack_boundary_pair_not_missed(spark):
     want = _brute([(1, 0.5, 1.0)], [(0, 0.0, 0.499975, 1.0, 0.499975)], r)
     assert want == {1: (0, 2500)}  # the oracle admits the pair...
     assert got == want  # ...so the engine must too
+
+
+def _brute_topk(points, segments, radius, k):
+    want = {}
+    for pid, px, py in points:
+        cands = []
+        for sid, ax, ay, bx, by in segments:
+            dx, dy = bx - ax, by - ay
+            len2 = dx * dx + dy * dy
+            t_raw = ((px - ax) * dx + (py - ay) * dy) / (len2 or 1.0)
+            t = min(1.0, max(0.0, t_raw))
+            ex, ey = px - (ax + t * dx), py - (ay + t * dy)
+            d2s = round((ex * ex + ey * ey) * 10_000)
+            if d2s <= radius * radius * 10_000:
+                cands.append((d2s, sid))
+        for rank, (d2s, sid) in enumerate(sorted(cands)[:k], 1):
+            want[(pid, rank)] = (sid, d2s)
+    return want
+
+
+def test_topk_matches_brute_force_and_agrees_with_argmin(world, spark):
+    from mvtspark.operators.snap import snap_topk_segments
+
+    pts, segs, pdf, sdf = world
+    K = 3
+    got = {
+        (r.point_id, r.rank): (r.seg_id, r.dist2_x10k)
+        for r in snap_topk_segments(pdf, sdf, R, K).collect()
+    }
+    assert got == _brute_topk(pts, segs, R, K)
+    # rank 1 == the argmin snap's winner, point for point
+    rank1 = {p: v for (p, rk), v in got.items() if rk == 1}
+    argmin = {
+        r.point_id: (r.seg_id, r.dist2_x10k)
+        for r in snap_to_segments(pdf, sdf, R).collect()
+    }
+    assert rank1 == argmin
+    # some point really has K candidates (corpus isn't degenerate)
+    assert any(rk == K for (_, rk) in got)
+
+
+def test_topk_plan_no_cross_join_with_group_limit(world):
+    from mvtspark.operators.snap import snap_topk_segments
+
+    _, _, pdf, sdf = world
+    plan = (
+        snap_topk_segments(pdf, sdf, R, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # partial top-k before the shuffle
