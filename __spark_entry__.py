@@ -2521,6 +2521,35 @@ def lossy_roundtrip_psnr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def lossy_420_psnr(spark: SparkSession, sf: str) -> DataFrame:
+    """LOSSY codec, 4:2:0 chroma-subsampled mode (kernels/image.py
+    ``encode_mrj420`` — full-res Y, 2x2 box-averaged Cb/Cr, magic
+    MRJ2): round trip over the 64-image SMOOTH synthetic corpus, where
+    chroma subsampling earns REAL compression (median ~19x vs raw,
+    ~1.6x smaller than 4:4:4 — floor pinned in ratio_ok) while holding
+    the input_hint's PSNR >= 40 dB bound (corpus worst case 43.49 dB).
+    On uniform noise this mode fails the bound by construction — the
+    noise corpus stays on 4:4:4 (lossy_roundtrip_psnr); picking the
+    mode by content is the documented contract. ORACLED against FROZEN
+    goldens minted from this pipeline — the 4:4:4 goldens are
+    untouched (its bytes are pinned separately)."""
+    from mvtspark.operators.multimodal import transcode_images_mrj
+    from mvtspark.sources.images import synth_smooth_images
+
+    t = transcode_images_mrj(
+        synth_smooth_images(spark, 64), qstep=4, subsample=True
+    )
+    return t.where(F.col("error").isNull()).select(
+        "image_id",
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("sum_abs_err").cast("long").alias("sum_abs_err"),
+        F.col("enc_len").cast("long").alias("enc_len"),
+        F.col("psnr_x100").cast("long").alias("psnr_x100"),
+        (F.col("psnr_x100") >= 4000).alias("psnr_ok"),
+        (F.col("enc_len") * 8 <= F.col("n_px") * 3).alias("ratio_ok"),
+    )
+
+
 def snap_nearest_segment(spark: SparkSession, sf: str) -> DataFrame:
     """Map-matching core (operators/snap.py): every event point snaps
     to its nearest polyline segment within a 64 px radius — segment
@@ -2747,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 already confirmed.
     return {
         "poly_union_area": poly_union_area,
+        "lossy_420_psnr": lossy_420_psnr,
         "snap_topk_segments": snap_topk_segments,
         "rect_union_coverage": rect_union_coverage,
         "offset_rectilinear_square": offset_rectilinear_square,
@@ -2906,6 +2936,71 @@ def _hex_sql(src: str, idcol: str, res: int, out: str) -> str:
 # certify the repo's own codec against its frozen past self, not an
 # independent recomputation). (image_id, n_px, sum_abs_err, enc_len,
 # psnr_x100)
+_MRJ2_GOLDENS = """('img000000000000', 1023, 4000, 278, 4349),
+('img000000000001', 1551, 4396, 359, 4539),
+('img000000000002', 2079, 5330, 411, 4642),
+('img000000000003', 2607, 6071, 436, 4751),
+('img000000000004', 1519, 4669, 316, 4569),
+('img000000000005', 2303, 4834, 410, 4809),
+('img000000000006', 3087, 5848, 471, 4887),
+('img000000000007', 3871, 8440, 504, 4781),
+('img000000000008', 2015, 4787, 366, 4677),
+('img000000000009', 3055, 7113, 484, 4732),
+('img000000000010', 4095, 9062, 548, 4801),
+('img000000000011', 5135, 9347, 624, 4933),
+('img000000000012', 2511, 5878, 408, 4732),
+('img000000000013', 3807, 7241, 522, 4865),
+('img000000000014', 5103, 10863, 613, 4826),
+('img000000000015', 6399, 10864, 717, 4931),
+('img000000000016', 1023, 3738, 296, 4376),
+('img000000000017', 1551, 4672, 340, 4569),
+('img000000000018', 2079, 4991, 374, 4738),
+('img000000000019', 2607, 5158, 460, 4865),
+('img000000000020', 1519, 3653, 320, 4685),
+('img000000000021', 2303, 6433, 404, 4615),
+('img000000000022', 3087, 6395, 474, 4783),
+('img000000000023', 3871, 7944, 545, 4819),
+('img000000000024', 2015, 6535, 375, 4531),
+('img000000000025', 3055, 6879, 451, 4794),
+('img000000000026', 4095, 7442, 538, 4917),
+('img000000000027', 5135, 8640, 646, 4960),
+('img000000000028', 2511, 7653, 386, 4582),
+('img000000000029', 3807, 7588, 518, 4831),
+('img000000000030', 5103, 10584, 655, 4830),
+('img000000000031', 6399, 12254, 701, 4903),
+('img000000000032', 1023, 3573, 267, 4465),
+('img000000000033', 1551, 3719, 345, 4724),
+('img000000000034', 2079, 4576, 391, 4778),
+('img000000000035', 2607, 6419, 428, 4685),
+('img000000000036', 1519, 4086, 318, 4564),
+('img000000000037', 2303, 5914, 416, 4658),
+('img000000000038', 3087, 7330, 466, 4750),
+('img000000000039', 3871, 7470, 495, 4897),
+('img000000000040', 2015, 4743, 364, 4729),
+('img000000000041', 3055, 5827, 462, 4863),
+('img000000000042', 4095, 9111, 526, 4788),
+('img000000000043', 5135, 9105, 646, 4903),
+('img000000000044', 2511, 7272, 424, 4590),
+('img000000000045', 3807, 8947, 505, 4759),
+('img000000000046', 5103, 9852, 610, 4896),
+('img000000000047', 6399, 10461, 749, 4989),
+('img000000000048', 1023, 2811, 267, 4587),
+('img000000000049', 1551, 4914, 357, 4507),
+('img000000000050', 2079, 5340, 395, 4626),
+('img000000000051', 2607, 6006, 449, 4725),
+('img000000000052', 1519, 5318, 328, 4469),
+('img000000000053', 2303, 5524, 392, 4750),
+('img000000000054', 3087, 5841, 475, 4900),
+('img000000000055', 3871, 6920, 547, 4926),
+('img000000000056', 2015, 6530, 367, 4531),
+('img000000000057', 3055, 6611, 454, 4763),
+('img000000000058', 4095, 8857, 568, 4804),
+('img000000000059', 5135, 10221, 611, 4869),
+('img000000000060', 2511, 7077, 395, 4625),
+('img000000000061', 3807, 7312, 532, 4876),
+('img000000000062', 5103, 9034, 634, 4928),
+('img000000000063', 6399, 12560, 712, 4875)"""
+
 _MRJ_GOLDENS = """('img000000000000', 256, 1153, 872, 4226),
 ('img000000000001', 512, 2312, 1670, 4222),
 ('img000000000002', 768, 3485, 2463, 4232),
@@ -3703,6 +3798,17 @@ def oracle_sql() -> dict[str, str]:
               CAST(sid AS BIGINT) AS seg_id,
               CAST(d2s AS BIGINT) AS dist2_x10k
             FROM rk WHERE rank <= 4
+        """,
+        "lossy_420_psnr": f"""
+            SELECT image_id,
+              CAST(n_px AS BIGINT) AS n_px,
+              CAST(sum_abs_err AS BIGINT) AS sum_abs_err,
+              CAST(enc_len AS BIGINT) AS enc_len,
+              CAST(psnr_x100 AS BIGINT) AS psnr_x100,
+              psnr_x100 >= 4000 AS psnr_ok,
+              enc_len * 8 <= n_px * 3 AS ratio_ok
+            FROM (VALUES {_MRJ2_GOLDENS})
+              v(image_id, n_px, sum_abs_err, enc_len, psnr_x100)
         """,
         "lossy_roundtrip_psnr": f"""
             SELECT image_id,

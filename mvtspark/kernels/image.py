@@ -196,6 +196,8 @@ def encode_mrj(img: np.ndarray, qstep: int = 4) -> bytes:
 
 
 def decode_mrj(data: bytes) -> np.ndarray:
+    if len(data) >= 4 and data[:4] == _MRJ2_MAGIC:
+        return decode_mrj420(data)  # 4:2:0 mode, below
     if len(data) < 9 or data[:4] != _MRJ_MAGIC:
         raise ValueError("not an MRJ payload")
     _, w, h, qstep = struct.unpack_from("<4sHHB", data, 0)
@@ -216,6 +218,96 @@ def decode_mrj(data: bytes) -> np.ndarray:
         blk = np.einsum("ji,abjk,kl->abil", c, q, c) + 128.0
         chans.append(blk.transpose(0, 2, 1, 3).reshape(hh, ww))
     y, cb, cr = chans
+    r = y + (cr - 128.0) / 0.713
+    b = y + (cb - 128.0) / 0.564
+    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+
+
+_MRJ2_MAGIC = b"MRJ2"
+
+
+def _dct_quant_plane(ch: np.ndarray, qstep: int) -> bytes:
+    """Pad one float plane to 8-multiples (edge), 8x8 DCT, quantize —
+    the shared per-plane stage of both MRJ modes (same einsum pattern
+    as the 4:4:4 path, so the association discipline is inherited)."""
+    h, w = ch.shape
+    p = np.pad(ch, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
+    hh, ww = p.shape
+    c = _dct8()
+    blk = p.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,lk->abil", c, blk - 128.0, c)
+    return np.round(coef / qstep).astype("<i2").tobytes()
+
+
+def _dequant_idct_plane(
+    raw: np.ndarray, h: int, w: int, qstep: int
+) -> np.ndarray:
+    """Inverse of _dct_quant_plane: int16 coefs → float plane (h, w)."""
+    hh, ww = h + (-h) % 8, w + (-w) % 8
+    c = _dct8()
+    q = raw.astype(np.float64).reshape(hh // 8, ww // 8, 8, 8) * qstep
+    blk = np.einsum("ji,abjk,kl->abil", c, q, c) + 128.0
+    return blk.transpose(0, 2, 1, 3).reshape(hh, ww)[:h, :w]
+
+
+def encode_mrj420(img: np.ndarray, qstep: int = 4) -> bytes:
+    """MRJ with 4:2:0 chroma subsampling (magic MRJ2): Y at full
+    resolution, Cb/Cr box-averaged 2x2 — real compression on smooth /
+    natural content (chroma carries little detail there, so the
+    PSNR >= 40 dB bound holds on the smooth corpus while the payload
+    drops ~2x vs 4:4:4; pinned in tests). On uniform noise the chroma
+    detail is irrecoverable by construction — that corpus stays on the
+    4:4:4 mode. Same DCT/quant/zlib stages as encode_mrj."""
+    if not 1 <= qstep <= 255:
+        raise ValueError(f"qstep {qstep} out of range 1..255")
+    h, w, _ = img.shape
+    if w > 0xFFFF or h > 0xFFFF:
+        raise ValueError(f"image {w}x{h} exceeds the 65535 MRJ dim limit")
+    # pad to even dims so chroma halves exactly
+    pe = np.pad(
+        img, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge"
+    ).astype(np.float64)
+    r, g, b = pe[..., 0], pe[..., 1], pe[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 + (b - y) * 0.564
+    cr = 128.0 + (r - y) * 0.713
+    h2, w2 = y.shape
+    cb_d = cb.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+    cr_d = cr.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+    body = (
+        _dct_quant_plane(y, qstep)
+        + _dct_quant_plane(cb_d, qstep)
+        + _dct_quant_plane(cr_d, qstep)
+    )
+    header = struct.pack("<4sHHB", _MRJ2_MAGIC, w, h, qstep)
+    return header + zlib.compress(body, 6)
+
+
+def decode_mrj420(data: bytes) -> np.ndarray:
+    if len(data) < 9 or data[:4] != _MRJ2_MAGIC:
+        raise ValueError("not an MRJ2 payload")
+    _, w, h, qstep = struct.unpack_from("<4sHHB", data, 0)
+    try:
+        raw = zlib.decompress(data[9:])
+    except zlib.error as e:
+        raise ValueError(f"corrupt MRJ2 payload: {e}") from None
+    h2, w2 = h + h % 2, w + w % 2
+    hc, wc = h2 // 2, w2 // 2
+
+    def plane_len(ph, pw):
+        return (ph + (-ph) % 8) * (pw + (-pw) % 8)
+
+    ny, nc = plane_len(h2, w2), plane_len(hc, wc)
+    arr = np.frombuffer(raw, dtype="<i2")
+    if arr.size != ny + 2 * nc:
+        raise ValueError("MRJ2 payload length mismatch")
+    y = _dequant_idct_plane(arr[:ny], h2, w2, qstep)
+    cb = _dequant_idct_plane(arr[ny : ny + nc], hc, wc, qstep)
+    cr = _dequant_idct_plane(arr[ny + nc :], hc, wc, qstep)
+    cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
     r = y + (cr - 128.0) / 0.713
     b = y + (cb - 128.0) / 0.564
     g = (y - 0.299 * r - 0.114 * b) / 0.587
@@ -438,6 +530,26 @@ def synth_image(i: int) -> tuple[bytes, int, int, str]:
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     if i % 3 == 0:
         return encode_png(img), w, h, "png"
+    return encode_raw(img), w, h, "raw"
+
+
+def synth_smooth_image(i: int) -> tuple[bytes, int, int, str]:
+    """Deterministic SMOOTH image for row i: low-frequency sinusoids +
+    a linear gradient — the natural-content stand-in where chroma
+    subsampling earns real compression (uniform noise, synth_image's
+    corpus, is the codec's information-theoretic worst case and is
+    deliberately NOT smooth). Raw format; odd sizes included so the
+    4:2:0 even-padding path is exercised."""
+    w = 31 + (i % 4) * 16
+    h = 33 + ((i // 4) % 4) * 16
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    ph = (i % 7) * 0.9
+    r = 128.0 + 70.0 * np.sin(xx / w * 2.1 + ph) * np.cos(yy / h * 1.3)
+    g = 128.0 + 60.0 * np.cos(xx / w * 1.7 - ph / 2)
+    b = 40.0 + (xx + 2.0 * yy) * (160.0 / (w + 2.0 * h))
+    img = np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
     return encode_raw(img), w, h, "raw"
 
 

@@ -144,7 +144,9 @@ TRANSCODE_SCHEMA = (
 )
 
 
-def transcode_images_mrj(images: DataFrame, qstep: int = 4) -> DataFrame:
+def transcode_images_mrj(
+    images: DataFrame, qstep: int = 4, subsample: bool = False
+) -> DataFrame:
     """Transcode any decodable image to the from-scratch MRJ LOSSY
     codec (kernels/image.py: YCbCr → 8x8 DCT → uniform quantization →
     zlib) and verify the round trip in the same pass: exact integer
@@ -163,6 +165,13 @@ def transcode_images_mrj(images: DataFrame, qstep: int = 4) -> DataFrame:
     frozen goldens, so it cannot be traded for BLAS matmuls); the
     batching removes the per-row Python/pandas overhead and keeps the
     per-byte cost flat as rows-per-batch grows.
+
+    ``subsample=True`` selects the 4:2:0 chroma-subsampled mode
+    (kernels/image.py ``encode_mrj420`` — clipper-era JPEG's default
+    sampling, real compression on smooth/natural content; PSNR >= 40
+    only holds on such content, so pick the mode by corpus). The 4:2:0
+    path runs per image inside the batch — its own frozen goldens pin
+    the bytes, and the DCT cost profile is identical to 4:4:4's.
     """
 
     def _tc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -172,6 +181,7 @@ def transcode_images_mrj(images: DataFrame, qstep: int = 4) -> DataFrame:
             decode_image,
             decode_mrj,
             encode_mrj,
+            encode_mrj420,
             mrj_roundtrip_batch,
         )
 
@@ -179,7 +189,7 @@ def transcode_images_mrj(images: DataFrame, qstep: int = 4) -> DataFrame:
 
         def _one(rec, blob, w, h, fmt):
             img = decode_image(blob, w, h, fmt)
-            enc = encode_mrj(img, qstep)
+            enc = (encode_mrj420 if subsample else encode_mrj)(img, qstep)
             dec = decode_mrj(enc)
             diff = dec.astype(np.int64) - img.astype(np.int64)
             _fill(rec, blob, w, h, enc, int(np.abs(diff).sum()),
@@ -207,6 +217,8 @@ def transcode_images_mrj(images: DataFrame, qstep: int = 4) -> DataFrame:
             for (w, h, fmt), poss in grp:
                 raw = pdf["bytes"].iloc[poss]
                 try:
+                    if subsample:
+                        raise ValueError("420 mode: per-image path")
                     stack = _decode_stack(raw, int(w), int(h), fmt)
                     encs, abs_err, sse = mrj_roundtrip_batch(stack, qstep)
                     for j, p_ in enumerate(poss):

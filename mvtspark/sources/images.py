@@ -88,6 +88,34 @@ def synth_images(
     return rng.mapInPandas(lambda it: _gen(it, with_bytes), schema=schema)
 
 
+SMOOTH_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def synth_smooth_images(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic SMOOTH images table (kernels/image.py
+    ``synth_smooth_image``) — the natural-content corpus for the
+    chroma-subsampled lossy mode, where the PSNR >= 40 dB bound is
+    content-dependent (uniform noise fails 4:2:0 by construction)."""
+
+    def _gen_smooth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mvtspark.kernels.image import synth_smooth_image
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                data, w, h, fmt = synth_smooth_image(int(i))
+                rows.append((f"img{int(i):012d}", data, w, h, fmt))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    partitions = partitions or max(8, n // 25_000)
+    rng = spark.range(0, n, numPartitions=partitions)
+    return rng.mapInPandas(_gen_smooth, schema=SMOOTH_SCHEMA)
+
+
 POINTS_SCHEMA = "image_id string, caption string, lat double, lng double"
 
 

