@@ -2550,6 +2550,34 @@ def lossy_420_psnr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def jpeg_roundtrip_psnr(spark: SparkSession, sf: str) -> DataFrame:
+    """Baseline JFIF codec (kernels/jpeg.py — from-scratch T.81:
+    Annex K quant/Huffman tables written to and READ FROM the stream,
+    4:2:0 MCU interleave, DRI restart markers, byte unstuffing) — the
+    un-stubbing of the last NotImplementedError branch
+    (decode_image(fmt='jpeg')). Round trip over the 64-image smooth
+    corpus at quality 85, 4:2:0, restart interval 4 (so the RST path
+    runs in-pipeline): PSNR >= 40 dB per row (worst case 41.69 dB) and
+    real compression. ORACLED against FROZEN goldens minted from this
+    pipeline — any drift in tables, entropy coding, sampling, or the
+    IDCT flips the hash."""
+    from mvtspark.operators.multimodal import transcode_images_jpeg
+    from mvtspark.sources.images import synth_smooth_images
+
+    t = transcode_images_jpeg(
+        synth_smooth_images(spark, 64),
+        quality=85, subsampling="420", restart_interval=4,
+    )
+    return t.where(F.col("error").isNull()).select(
+        "image_id",
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("sum_abs_err").cast("long").alias("sum_abs_err"),
+        F.col("enc_len").cast("long").alias("enc_len"),
+        F.col("psnr_x100").cast("long").alias("psnr_x100"),
+        (F.col("psnr_x100") >= 4000).alias("psnr_ok"),
+    )
+
+
 def snap_nearest_segment(spark: SparkSession, sf: str) -> DataFrame:
     """Map-matching core (operators/snap.py): every event point snaps
     to its nearest polyline segment within a 64 px radius — segment
@@ -2776,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 already confirmed.
     return {
         "poly_union_area": poly_union_area,
+        "jpeg_roundtrip_psnr": jpeg_roundtrip_psnr,
         "lossy_420_psnr": lossy_420_psnr,
         "snap_topk_segments": snap_topk_segments,
         "rect_union_coverage": rect_union_coverage,
@@ -2936,6 +2965,71 @@ def _hex_sql(src: str, idcol: str, res: int, out: str) -> str:
 # certify the repo's own codec against its frozen past self, not an
 # independent recomputation). (image_id, n_px, sum_abs_err, enc_len,
 # psnr_x100)
+_JFIF_GOLDENS = """('img000000000000', 1023, 4831, 753, 4169),
+('img000000000001', 1551, 5378, 782, 4333),
+('img000000000002', 2079, 6502, 806, 4469),
+('img000000000003', 2607, 7280, 837, 4591),
+('img000000000004', 1519, 5473, 801, 4411),
+('img000000000005', 2303, 5933, 861, 4644),
+('img000000000006', 3087, 7089, 907, 4720),
+('img000000000007', 3871, 10095, 915, 4633),
+('img000000000008', 2015, 5792, 828, 4523),
+('img000000000009', 3055, 8817, 872, 4553),
+('img000000000010', 4095, 10763, 898, 4645),
+('img000000000011', 5135, 10865, 993, 4807),
+('img000000000012', 2511, 6887, 909, 4596),
+('img000000000013', 3807, 8365, 990, 4744),
+('img000000000014', 5103, 12852, 976, 4680),
+('img000000000015', 6399, 12122, 1028, 4830),
+('img000000000016', 1023, 4542, 754, 4195),
+('img000000000017', 1551, 5565, 775, 4392),
+('img000000000018', 2079, 6073, 813, 4562),
+('img000000000019', 2607, 6153, 864, 4711),
+('img000000000020', 1519, 4501, 815, 4499),
+('img000000000021', 2303, 7893, 823, 4424),
+('img000000000022', 3087, 8003, 858, 4592),
+('img000000000023', 3871, 9448, 915, 4667),
+('img000000000024', 2015, 7249, 799, 4411),
+('img000000000025', 3055, 8404, 892, 4605),
+('img000000000026', 4095, 8643, 955, 4804),
+('img000000000027', 5135, 9821, 1032, 4855),
+('img000000000028', 2511, 9047, 867, 4411),
+('img000000000029', 3807, 9151, 927, 4660),
+('img000000000030', 5103, 12169, 969, 4710),
+('img000000000031', 6399, 13953, 1027, 4789),
+('img000000000032', 1023, 4120, 757, 4308),
+('img000000000033', 1551, 4596, 807, 4529),
+('img000000000034', 2079, 5420, 837, 4610),
+('img000000000035', 2607, 7878, 845, 4500),
+('img000000000036', 1519, 4808, 792, 4410),
+('img000000000037', 2303, 7334, 827, 4469),
+('img000000000038', 3087, 8761, 848, 4584),
+('img000000000039', 3871, 8648, 920, 4774),
+('img000000000040', 2015, 5759, 864, 4562),
+('img000000000041', 3055, 7031, 930, 4711),
+('img000000000042', 4095, 11003, 925, 4620),
+('img000000000043', 5135, 10875, 965, 4748),
+('img000000000044', 2511, 8280, 867, 4457),
+('img000000000045', 3807, 10504, 898, 4596),
+('img000000000046', 5103, 11470, 983, 4769),
+('img000000000047', 6399, 11682, 1099, 4919),
+('img000000000048', 1023, 3442, 770, 4385),
+('img000000000049', 1551, 6189, 774, 4286),
+('img000000000050', 2079, 6461, 802, 4444),
+('img000000000051', 2607, 7205, 848, 4554),
+('img000000000052', 1519, 5975, 766, 4350),
+('img000000000053', 2303, 6806, 838, 4558),
+('img000000000054', 3087, 6813, 884, 4769),
+('img000000000055', 3871, 8154, 949, 4774),
+('img000000000056', 2015, 7593, 835, 4372),
+('img000000000057', 3055, 7916, 881, 4590),
+('img000000000058', 4095, 10323, 916, 4666),
+('img000000000059', 5135, 11978, 965, 4735),
+('img000000000060', 2511, 8058, 885, 4494),
+('img000000000061', 3807, 8960, 979, 4721),
+('img000000000062', 5103, 10338, 1043, 4833),
+('img000000000063', 6399, 14089, 1048, 4771)"""
+
 _MRJ2_GOLDENS = """('img000000000000', 1023, 4000, 278, 4349),
 ('img000000000001', 1551, 4396, 359, 4539),
 ('img000000000002', 2079, 5330, 411, 4642),
@@ -3798,6 +3892,16 @@ def oracle_sql() -> dict[str, str]:
               CAST(sid AS BIGINT) AS seg_id,
               CAST(d2s AS BIGINT) AS dist2_x10k
             FROM rk WHERE rank <= 4
+        """,
+        "jpeg_roundtrip_psnr": f"""
+            SELECT image_id,
+              CAST(n_px AS BIGINT) AS n_px,
+              CAST(sum_abs_err AS BIGINT) AS sum_abs_err,
+              CAST(enc_len AS BIGINT) AS enc_len,
+              CAST(psnr_x100 AS BIGINT) AS psnr_x100,
+              psnr_x100 >= 4000 AS psnr_ok
+            FROM (VALUES {_JFIF_GOLDENS})
+              v(image_id, n_px, sum_abs_err, enc_len, psnr_x100)
         """,
         "lossy_420_psnr": f"""
             SELECT image_id,

@@ -137,8 +137,10 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "mrj":  # from-scratch lossy codec, below
         return decode_mrj(data)
-    # jpeg etc.: decoder libs absent in this container — plumbing (schema,
-    # batching, UDF signature) is real; the codec itself is stubbed.
+    if fmt in ("jpeg", "jpg"):  # from-scratch baseline JFIF (kernels/jpeg.py)
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(f"image format {fmt!r} not available in this environment")
 
 

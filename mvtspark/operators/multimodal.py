@@ -237,6 +237,72 @@ def transcode_images_mrj(
     )
 
 
+JPEG_TRANSCODE_SCHEMA = (
+    "image_id string, jfif binary, w int, h int, n_px long, orig_len long, "
+    "enc_len long, sum_abs_err long, psnr_x100 long, error string"
+)
+
+
+def transcode_images_jpeg(
+    images: DataFrame,
+    quality: int = 85,
+    subsampling: str = "420",
+    restart_interval: int = 0,
+) -> DataFrame:
+    """Transcode decodable images to from-scratch baseline JFIF
+    (kernels/jpeg.py — quality-scaled Annex K tables, standard Huffman,
+    4:4:4/4:2:0, optional restart markers) and verify the round trip in
+    the same pass (exact |error| sum + PSNR x100 vs the source pixels).
+
+    Entropy coding is bit-serial per image, so the parallel unit is the
+    ROW (the per-image loop here is the honest shape — there is no
+    cross-image vectorization for a Huffman stream); all block math
+    inside the codec is whole-image numpy. Undecodable rows carry the
+    error instead of failing the job."""
+
+    def _tc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mvtspark.kernels.image import decode_image
+        from mvtspark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+        cols = [c.split()[0] for c in JPEG_TRANSCODE_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                rec = dict.fromkeys(cols)
+                rec["image_id"] = row.image_id
+                try:
+                    blob = bytes(row.bytes)
+                    img = decode_image(blob, int(row.w), int(row.h), row.fmt)
+                    enc = encode_jpeg(
+                        img, quality, subsampling=subsampling,
+                        restart_interval=restart_interval,
+                    )
+                    dec = decode_jpeg(enc)
+                    diff = dec.astype(np.int64) - img.astype(np.int64)
+                    sse = float((diff.astype(np.float64) ** 2).sum())
+                    p = (
+                        10.0 * np.log10(255.0 * 255.0 * img.size / sse)
+                        if sse else float("inf")
+                    )
+                    rec.update(
+                        jfif=enc, w=int(row.w), h=int(row.h),
+                        n_px=int(row.w) * int(row.h),
+                        orig_len=len(blob), enc_len=len(enc),
+                        sum_abs_err=int(np.abs(diff).sum()),
+                        psnr_x100=int(round(p * 100)) if sse else 10**9,
+                    )
+                except Exception as e:
+                    rec["error"] = str(e)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _tc, JPEG_TRANSCODE_SCHEMA
+    )
+
+
 def frame_sample_clips(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-stride sampling over REAL decoded pixels — the MRV
     codec (kernels/video.py) replaced the round-1/2 stub.
