@@ -522,14 +522,16 @@ def synth_row_seed(i: int) -> np.random.Generator:
 
 def synth_image(i: int) -> tuple[bytes, int, int, str]:
     """Deterministic image bytes for row i. Every third image is PNG so
-    both codecs (raw buffer view + RFC-2083 zlib chunks) are exercised
-    by any pipeline over the synthetic table; both are lossless
-    (PSNR = inf — the input_hint's >= 40 dB bound applies to lossy
-    codecs, none of which are available in this container)."""
+    both lossless codecs (raw buffer view + RFC-2083 zlib chunks) are
+    exercised by any pipeline over the synthetic table (PSNR = inf)."""
     w = 16 + (i % 4) * 16
     h = 16 + ((i // 4) % 4) * 16
     rng = synth_row_seed(i)
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    # (the >= 40 dB lossy bound is exercised for real by the MRJ and
+    # JFIF codecs over this corpus and the smooth one — see
+    # synth_smooth_image; this table's formats stay lossless so exact
+    # pixel/caption equality invariants hold on it)
     if i % 3 == 0:
         return encode_png(img), w, h, "png"
     return encode_raw(img), w, h, "raw"

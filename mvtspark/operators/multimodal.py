@@ -2,9 +2,10 @@
 typed metadata). The codecs are REAL: raw/PNG image decode + the MRJ
 lossy codec (kernels/image.py), the MRV video codec with frame sampling
 (kernels/video.py), and RMS/ZCR audio window features over raw PCM —
-all from-scratch numpy. The only remaining stub is JPEG decode
-(kernels/image.py) because PIL/cv2 are absent from this container; it
-raises NotImplementedError behind the same decode API.
+all from-scratch numpy — including baseline JFIF (kernels/jpeg.py:
+encode + general decode with stream-read tables, 4:2:0, restart
+markers). Nothing is stubbed: every format decode_image dispatches is
+a real codec; unknown formats raise NotImplementedError loudly.
 
 Scale notes: image bytes dominate row size, so
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` is tuned down in
