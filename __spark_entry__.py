@@ -2722,6 +2722,44 @@ def poly_union_area(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def minkowski_sum_area(spark: SparkSession, sf: str) -> DataFrame:
+    """Convex Minkowski sum (kernels/polyclip.py
+    ``minkowski_sum_convex`` — clipper MinkowskiSum,
+    clipper.cs:4596-4687, dead code in the reference, scoped to the
+    convex domain where the sum is the angular edge merge): doubled
+    area and fused vertex count of A ⊕ B per pair. Corpus: integer
+    triangles ⊕ translated octagons (varying which edge directions
+    coincide, so the parallel-fusion count varies). ORACLED by an
+    INDEPENDENT identity, not a merge replay: DuckDB computes
+    2·area(A⊕B) = 2aA + 2aB + Σ_{(i,j)} cross(earlier, later) over all
+    A×B edge pairs ordered by polar angle in [0, 2π), and n_verts =
+    |A| + |B| − #(parallel same-direction pairs) — all integer-exact
+    (sum vertices are integer sums)."""
+    from mvtspark.operators.boolean import minkowski_sum_stats
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf, "orders").where(k % 23 == 7)
+    p = 4 + k % 17
+    q = (k * 5) % 23
+    r = 3 + (k * 7) % 13
+    s = 1 + k % 5
+    tx, ty = (k * 3) % 100, (k * 11) % 100
+    d = lambda c: c.cast("double")  # noqa: E731
+    z = F.lit(0)
+    pairs = o.select(
+        k.alias("pair_id"),
+        F.array(d(z), d(p), d(q)).alias("ax"),
+        F.array(d(z), d(z), d(r)).alias("ay"),
+        F.array(*[d(F.lit(ox) * s + tx) for ox, _ in _OCT_BASE]).alias("bx"),
+        F.array(*[d(F.lit(oy) * s + ty) for _, oy in _OCT_BASE]).alias("by"),
+    )
+    return minkowski_sum_stats(pairs).select(
+        "pair_id",
+        F.col("sum_area2").cast("long").alias("sum_area2"),
+        F.col("n_verts").cast("int").alias("n_verts"),
+    )
+
+
 def rect_union_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Rectilinear boolean-measure suite (operators/boolean.py
     ``rect_union_stats``): exact union / pairwise-overlap / xor areas
@@ -2804,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 already confirmed.
     return {
         "poly_union_area": poly_union_area,
+        "minkowski_sum_area": minkowski_sum_area,
         "jpeg_roundtrip_psnr": jpeg_roundtrip_psnr,
         "lossy_420_psnr": lossy_420_psnr,
         "snap_topk_segments": snap_topk_segments,
@@ -3636,6 +3675,71 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(x.nx, 0) AS INT) AS n_cross
             FROM pr p JOIN inter i ON i.k = p.k
             LEFT JOIN ncr x ON x.k = p.k
+        """,
+        # INDEPENDENT identity replay (not an edge-merge rerun):
+        # 2 area(A⊕B) = 2aA + 2aB + Σ cross(earlier, later) over A×B
+        # edge pairs in polar-angle order; n_verts = |A|+|B|−#fused
+        "minkowski_sum_area": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 23 = 7),
+            pp AS (SELECT k, 4 + k % 17 AS p, (k*5) % 23 AS q,
+                          3 + (k*7) % 13 AS r, 1 + k % 5 AS s,
+                          (k*3) % 100 AS tx, (k*11) % 100 AS ty
+                   FROM ks),
+            tv AS (SELECT k, i,
+                CASE i WHEN 0 THEN 0 WHEN 1 THEN p ELSE q END AS vx,
+                CASE i WHEN 0 THEN 0 WHEN 1 THEN 0 ELSE r END AS vy
+              FROM pp, range(3) t(i)),
+            ob(i, ox, oy) AS (SELECT * FROM (VALUES
+              (0,2,0),(1,6,0),(2,8,2),(3,8,6),
+              (4,6,8),(5,2,8),(6,0,6),(7,0,2))),
+            bv AS (SELECT k, i, ox*s + tx AS vx, oy*s + ty AS vy
+                   FROM pp, ob),
+            ae AS (SELECT a1.k, a2.vx - a1.vx AS ex, a2.vy - a1.vy AS ey
+                   FROM tv a1 JOIN tv a2
+                     ON a2.k = a1.k AND a2.i = (a1.i + 1) % 3),
+            be AS (SELECT b1.k, b2.vx - b1.vx AS ex, b2.vy - b1.vy AS ey
+                   FROM bv b1 JOIN bv b2
+                     ON b2.k = b1.k AND b2.i = (b1.i + 1) % 8),
+            aa AS (SELECT a1.k,
+                     SUM(a1.vx*a2.vy - a2.vx*a1.vy) AS a2x
+                   FROM tv a1 JOIN tv a2
+                     ON a2.k = a1.k AND a2.i = (a1.i + 1) % 3
+                   GROUP BY a1.k),
+            bb AS (SELECT b1.k,
+                     SUM(b1.vx*b2.vy - b2.vx*b1.vy) AS b2x
+                   FROM bv b1 JOIN bv b2
+                     ON b2.k = b1.k AND b2.i = (b1.i + 1) % 8
+                   GROUP BY b1.k),
+            mix AS (SELECT a.k,
+                SUM(CASE WHEN
+                      (CASE WHEN atan2(CAST(a.ey AS DOUBLE),
+                                       CAST(a.ex AS DOUBLE)) < 0
+                            THEN atan2(CAST(a.ey AS DOUBLE),
+                                       CAST(a.ex AS DOUBLE)) + 2*pi()
+                            ELSE atan2(CAST(a.ey AS DOUBLE),
+                                       CAST(a.ex AS DOUBLE)) END)
+                      <
+                      (CASE WHEN atan2(CAST(b.ey AS DOUBLE),
+                                       CAST(b.ex AS DOUBLE)) < 0
+                            THEN atan2(CAST(b.ey AS DOUBLE),
+                                       CAST(b.ex AS DOUBLE)) + 2*pi()
+                            ELSE atan2(CAST(b.ey AS DOUBLE),
+                                       CAST(b.ex AS DOUBLE)) END)
+                     THEN a.ex*b.ey - a.ey*b.ex
+                     ELSE -(a.ex*b.ey - a.ey*b.ex) END) AS mixed
+               FROM ae a JOIN be b ON b.k = a.k
+               GROUP BY a.k),
+            par AS (SELECT a.k, count(*) AS np
+                    FROM ae a JOIN be b ON b.k = a.k
+                    WHERE a.ex*b.ey - a.ey*b.ex = 0
+                      AND a.ex*b.ex + a.ey*b.ey > 0
+                    GROUP BY a.k)
+            SELECT m.k AS pair_id,
+              CAST(aa.a2x + bb.b2x + m.mixed AS BIGINT) AS sum_area2,
+              CAST(3 + 8 - COALESCE(par.np, 0) AS INT) AS n_verts
+            FROM mix m JOIN aa ON aa.k = m.k JOIN bb ON bb.k = m.k
+            LEFT JOIN par ON par.k = m.k
         """,
         # coordinate-compressed coverage replay: compressed cells from
         # lead() windows, covering-rect counts per cell, area sums by

@@ -75,6 +75,39 @@ def convex_pair_union(pairs: DataFrame) -> DataFrame:
     return pairs.mapInPandas(_run, CONVEX_PAIR_SCHEMA)
 
 
+MINKOWSKI_SCHEMA = "pair_id long, sum_area2 long, n_verts int"
+
+
+def minkowski_sum_stats(pairs: DataFrame) -> DataFrame:
+    """Per-row convex Minkowski sum measures (kernels/polyclip.py
+    ``minkowski_sum_convex`` — clipper.cs:4596-4687 on the convex
+    domain): input rows carry two convex CCW integer rings
+    (pair_id, ax, ay, bx, by); output the DOUBLED area of A ⊕ B
+    (integer-exact — sum vertices are integer sums) and its vertex
+    count after parallel-edge fusion. Pure map — pairs distribute."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mvtspark.kernels.polyclip import minkowski_sum_convex, ring_area2
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                vx, vy = minkowski_sum_convex(
+                    np.asarray(r.ax, np.float64), np.asarray(r.ay, np.float64),
+                    np.asarray(r.bx, np.float64), np.asarray(r.by, np.float64),
+                )
+                rows.append(
+                    (int(r.pair_id), int(round(ring_area2(vx, vy))), len(vx))
+                )
+            yield pd.DataFrame(
+                rows, columns=["pair_id", "sum_area2", "n_verts"]
+            )
+
+    return pairs.mapInPandas(_run, MINKOWSKI_SCHEMA)
+
+
 def _coverage_grid(rx0, ry0, rx1, ry1, extra_x=(), extra_y=()):
     """Coordinate-compressed coverage counts for axis-aligned rects:
     returns (xs, ys, cnt) where cnt[i, j] = number of rects covering

@@ -58,8 +58,13 @@ def test_decode_image_dispatch_and_stub():
     img = _img()
     assert np.array_equal(image.decode_image(image.encode_raw(img), 32, 24, "raw"), img)
     assert np.array_equal(image.decode_image(image.encode_png(img), 32, 24, "png"), img)
-    with pytest.raises(NotImplementedError):
+    # jpeg now dispatches to the real kernels/jpeg.py decoder (r5) —
+    # a corrupt payload raises ITS ValueError, not a stub error
+    with pytest.raises(ValueError):
         image.decode_image(b"\xff\xd8\xff", 32, 24, "jpeg")
+    # only genuinely unknown formats remain NotImplementedError
+    with pytest.raises(NotImplementedError):
+        image.decode_image(b"....", 32, 24, "webp")
 
 
 def test_psnr():

@@ -272,3 +272,66 @@ def test_offset_rectilinear_random_rectilinear_rings(spark):
     got = {r.ring_id: r for r in offset_rectilinear(df, 2).collect()}
     for rid, xs, ys in rows:
         assert got[rid].offset_area == _brute_offset_area(xs, ys, 2), rid
+
+
+# ------------------------------------------------------------- minkowski
+
+
+def test_minkowski_sum_three_way():
+    """minkowski_sum_convex validated three independent ways on random
+    convex lattice pairs: (1) the constructed ring's shoelace area,
+    (2) the hull of all pairwise vertex sums (definitional for convex),
+    (3) the angular-order identity the SQL oracle replays
+    (2·area = 2aA + 2aB + Σ cross(earlier, later) by edge angle)."""
+    from mvtspark.kernels.polyclip import minkowski_sum_convex
+
+    rng = np.random.default_rng(4)
+    checked = 0
+    for _ in range(120):
+        A = _rand_convex(rng, 0, 0, rng.integers(4, 30))
+        B = _rand_convex(rng, 0, 0, rng.integers(4, 25))
+        if len(A) < 3 or len(B) < 3:
+            continue
+        ax = np.array([p[0] for p in A], float)
+        ay = np.array([p[1] for p in A], float)
+        bx = np.array([p[0] for p in B], float)
+        by = np.array([p[1] for p in B], float)
+        vx, vy = minkowski_sum_convex(ax, ay, bx, by)
+        got = ring_area2(vx, vy)
+        # (2) hull of sums
+        H = _hull([
+            (int(a0 + b0), int(a1 + b1))
+            for a0, a1 in zip(ax, ay) for b0, b1 in zip(bx, by)
+        ])
+        hx = np.array([p[0] for p in H], float)
+        hy = np.array([p[1] for p in H], float)
+        assert got == ring_area2(hx, hy), (A, B)
+        assert len(vx) == len(H), (A, B)  # fused vertex count matches hull
+        # (3) angular identity
+        eax, eay = np.roll(ax, -1) - ax, np.roll(ay, -1) - ay
+        ebx, eby = np.roll(bx, -1) - bx, np.roll(by, -1) - by
+        angA = np.mod(np.arctan2(eay, eax), 2 * np.pi)
+        angB = np.mod(np.arctan2(eby, ebx), 2 * np.pi)
+        cr = eax[:, None] * eby[None, :] - eay[:, None] * ebx[None, :]
+        mixed = float(np.where(angA[:, None] < angB[None, :], cr, -cr).sum())
+        assert got == ring_area2(ax, ay) + ring_area2(bx, by) + mixed
+        checked += 1
+    assert checked > 80
+
+
+def test_minkowski_goldens_and_translation_invariance():
+    from mvtspark.kernels.polyclip import minkowski_sum_convex
+
+    # unit square ⊕ unit square = 2x2 square (area2 = 8, 4 verts)
+    sq = np.array([0, 1, 1, 0], float), np.array([0, 0, 1, 1], float)
+    vx, vy = minkowski_sum_convex(*sq, *sq)
+    assert ring_area2(vx, vy) == 8.0 and len(vx) == 4
+    # square ⊕ diamond: every direction distinct → 8 verts, octagon
+    dia = np.array([1, 2, 1, 0], float), np.array([0, 1, 2, 1], float)
+    vx, vy = minkowski_sum_convex(*sq, *dia)
+    assert len(vx) == 8
+    assert ring_area2(vx, vy) == 2.0 + 4.0 + 2 * 4.0  # aA2+aB2+mixed
+    # translation moves the ring, not its measures
+    vx2, vy2 = minkowski_sum_convex(sq[0] + 10, sq[1] - 3, *dia)
+    assert ring_area2(vx2, vy2) == ring_area2(vx, vy)
+    assert np.array_equal(vx2 - 10, vx) and np.array_equal(vy2 + 3, vy)
