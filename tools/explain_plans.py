@@ -168,6 +168,20 @@ AUDITS = {
     "cms_heavy_hitters": ["TakeOrderedAndProject", "BroadcastHashJoin", "HashAggregate"],
     # SCD2 history: ONE lead window on the key
     "scd2_user_history": ["Window", "Sort"],
+    # round-5 additions
+    # convex boolean / minkowski: closed-form corpus built codegen-side,
+    # geometry rides ONE pandas map (no join, no shuffle)
+    "poly_union_area": ["MapInPandas", "codegen id"],
+    "minkowski_sum_area": ["MapInPandas", "codegen id"],
+    # rectilinear coverage: one groupBy shuffle into the grouped-map
+    "rect_union_coverage": ["FlatMapGroupsInPandas"],
+    "offset_rectilinear_square": ["MapInPandas", "codegen id"],
+    # top-k snap: broadcast cell-cover join + rank-limit pushdown
+    # (partial top-k per partition before the point-keyed exchange)
+    "snap_topk_segments": ["BroadcastHashJoin", "WindowGroupLimit"],
+    # lossy golden corpora: synthesis + codec ride pandas maps
+    "lossy_420_psnr": ["MapInPandas"],
+    "jpeg_roundtrip_psnr": ["MapInPandas"],
 }
 
 
