@@ -1,0 +1,145 @@
+"""Exact boolean measures for ARBITRARY simple polygons — the full
+clipper ``ClipType`` surface (src/Geometry/clipper.cs:476
+ctIntersection/ctUnion/ctDifference/ctXor, :1561-1631 ``Execute``)
+with none of the prior scoping (polyclip.py needs a convex pair;
+boolean.py's coverage grid needs rectilinear sets). Any simple
+integer-vertex rings — non-convex, any edge angle — are exact here.
+
+Algorithm — slab decomposition, the measure-only core of a Vatti /
+Bentley–Ottmann sweep:
+
+1. Event y's = every vertex y of A and B, plus the y of every proper
+   A-edge × B-edge crossing (within-polygon edges never cross — the
+   rings are simple). Crossing y's are computed in exact ``Fraction``
+   arithmetic, so no float discipline anywhere.
+2. Between two consecutive events NOTHING structural changes: no
+   vertex enters, no pair of boundary edges swaps order. Each
+   polygon's cross-section {y = const} is a fixed set of intervals
+   whose endpoints move LINEARLY in y, and the x-order of all
+   endpoints is constant — so the measure of any boolean combination
+   of the two interval sets is linear in y across the slab, and
+   (midline measure) x (slab height) integrates it EXACTLY.
+3. At each slab midline, each polygon's interval set is the even-odd
+   pairing of its edge x-crossings (edges strictly straddling the
+   midline — horizontal edges lie on event lines and never straddle).
+   A single endpoint sweep over both interval sets then reads all
+   four measures straight off the coverage predicate — inter from
+   (inA and inB), union from (inA or inB), diff from (inA and not
+   inB), xor from (inA != inB) — NOT via inclusion-exclusion, so a
+   cross-engine compare checks each measure independently.
+
+Cost: O(|A|·|B|) crossings + O(events · edges) midline evaluations
+per pair — geometry-bounded (rings are tiny fence/mask shapes), and
+pairs distribute embarrassingly over partitions: the Spark layer is
+a pure map with no shuffle.
+
+Orientation does not matter (even-odd fill); vertex order rotation
+does not matter. Shared/collinear boundary segments contribute zero
+width and drop out of every measure.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+
+def _edges(xs, ys):
+    n = len(xs)
+    return [
+        (
+            Fraction(int(xs[i])), Fraction(int(ys[i])),
+            Fraction(int(xs[(i + 1) % n])), Fraction(int(ys[(i + 1) % n])),
+        )
+        for i in range(n)
+    ]
+
+
+def _crossing_ys(ea, eb):
+    """y of every PROPER crossing (strict straddle both ways) between
+    an A edge and a B edge — exact Fractions. Improper touches happen
+    at vertices, whose y's are events already; parallel/collinear
+    pairs have no transversal crossing."""
+    ys = []
+    for (p1x, p1y, p2x, p2y) in ea:
+        d1x, d1y = p2x - p1x, p2y - p1y
+        for (q1x, q1y, q2x, q2y) in eb:
+            d2x, d2y = q2x - q1x, q2y - q1y
+            den = d1x * d2y - d1y * d2x
+            if den == 0:
+                continue
+            s1 = d1x * (q1y - p1y) - d1y * (q1x - p1x)
+            s2 = d1x * (q2y - p1y) - d1y * (q2x - p1x)
+            s3 = d2x * (p1y - q1y) - d2y * (p1x - q1x)
+            s4 = d2x * (p2y - q1y) - d2y * (p2x - q1x)
+            if (s1 * s2 < 0) and (s3 * s4 < 0):
+                tp = ((q1x - p1x) * d2y - (q1y - p1y) * d2x) / den
+                ys.append(p1y + tp * d1y)
+    return ys
+
+
+def _xings_at(edges, ym):
+    """Sorted x-crossings of the ring's edges with the line y = ym —
+    even-odd pairing gives the inside intervals. ym is a slab midline,
+    strictly between events, so no edge endpoint lies on it."""
+    xs = []
+    for (x1, y1, x2, y2) in edges:
+        lo, hi = (y1, y2) if y1 <= y2 else (y2, y1)
+        if lo < ym < hi:
+            xs.append(x1 + (ym - y1) * (x2 - x1) / (y2 - y1))
+    xs.sort()
+    return xs
+
+
+def _measures_at(xa, xb):
+    """(inter, union, diff, xor) 1-D measures of the two even-odd
+    interval sets given their sorted boundary crossings — one merged
+    endpoint sweep, each measure read off its own coverage predicate."""
+    events = sorted(set(xa) | set(xb))
+    inter = union = diff = xor = Fraction(0)
+    ia = ib = 0
+    for k in range(len(events) - 1):
+        x0, x1 = events[k], events[k + 1]
+        while ia < len(xa) and xa[ia] <= x0:
+            ia += 1
+        while ib < len(xb) and xb[ib] <= x0:
+            ib += 1
+        in_a = ia % 2 == 1
+        in_b = ib % 2 == 1
+        w = x1 - x0
+        if in_a and in_b:
+            inter += w
+        if in_a or in_b:
+            union += w
+        if in_a and not in_b:
+            diff += w
+        if in_a != in_b:
+            xor += w
+    return inter, union, diff, xor
+
+
+def boolean_pair_measures(ax, ay, bx, by):
+    """(inter_area2, union_area2, diff_area2, xor_area2) — each TWICE
+    the exact area (Fractions; integral for integer-vertex rings whose
+    doubled boolean areas are integral, e.g. any octilinear corpus).
+    diff is A \\ B. Inputs: vertex coordinate sequences of two simple
+    rings, any orientation, any angles, integer coordinates."""
+    ea = _edges(ax, ay)
+    eb = _edges(bx, by)
+    events = sorted(
+        {e[1] for e in ea} | {e[1] for e in eb} | set(_crossing_ys(ea, eb))
+    )
+    inter2 = union2 = diff2 = xor2 = Fraction(0)
+    for k in range(len(events) - 1):
+        ylo, yhi = events[k], events[k + 1]
+        ym = (ylo + yhi) / 2
+        xa = _xings_at(ea, ym)
+        xb = _xings_at(eb, ym)
+        if not xa and not xb:
+            continue
+        mi, mu, md, mx = _measures_at(xa, xb)
+        h2 = 2 * (yhi - ylo)
+        inter2 += mi * h2
+        union2 += mu * h2
+        diff2 += md * h2
+        xor2 += mx * h2
+    return inter2, union2, diff2, xor2

@@ -108,6 +108,52 @@ def minkowski_sum_stats(pairs: DataFrame) -> DataFrame:
     return pairs.mapInPandas(_run, MINKOWSKI_SCHEMA)
 
 
+GENERAL_PAIR_SCHEMA = (
+    "pair_id long, inter_area2 long, union_area2 long, "
+    "diff_area2 long, xor_area2 long"
+)
+
+
+def general_pair_boolean(pairs: DataFrame) -> DataFrame:
+    """Per-row boolean measures for ARBITRARY simple polygon pairs
+    (kernels/polysweep.py — the full clipper ClipType surface,
+    clipper.cs:476/:1561-1631, with no convexity or rectilinearity
+    scoping): exact DOUBLED intersection / union / difference (A\\B) /
+    xor areas via slab-decomposition sweep in Fraction arithmetic.
+    Input rows carry two simple rings (pair_id, ax, ay, bx, by) with
+    integer coordinates. Pure map — no shuffle; pairs distribute.
+
+    Outputs are BIGINT: exact when the doubled boolean areas are
+    integral (always true for octilinear rings — axis + 45° edges
+    through even vertices keep every crossing on the integer grid);
+    otherwise rounded from the exact rational."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fractions import Fraction
+
+        from mvtspark.kernels.polysweep import boolean_pair_measures
+
+        def _as_long(fr: Fraction) -> int:
+            return int(fr) if fr.denominator == 1 else round(float(fr))
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i2, u2, d2, x2 = boolean_pair_measures(
+                    r.ax, r.ay, r.bx, r.by
+                )
+                rows.append(
+                    (int(r.pair_id), _as_long(i2), _as_long(u2),
+                     _as_long(d2), _as_long(x2))
+                )
+            yield pd.DataFrame(
+                rows, columns=["pair_id", "inter_area2", "union_area2",
+                               "diff_area2", "xor_area2"],
+            )
+
+    return pairs.mapInPandas(_run, GENERAL_PAIR_SCHEMA)
+
+
 def _coverage_grid(rx0, ry0, rx1, ry1, extra_x=(), extra_y=()):
     """Coordinate-compressed coverage counts for axis-aligned rects:
     returns (xs, ys, cnt) where cnt[i, j] = number of rects covering

@@ -1,0 +1,200 @@
+"""Slab-sweep general polygon boolean (kernels/polysweep.py) — exact
+measures for arbitrary simple pairs, checked three independent ways:
+hand-computed fixtures, identity invariants, and ALGORITHM PARITY
+against the convex-only Sutherland–Hodgman path (kernels/polyclip.py)
+on random convex pairs with arbitrary edge angles."""
+
+import random
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from mvtspark.kernels.polyclip import convex_pair_stats
+from mvtspark.kernels.polysweep import boolean_pair_measures
+
+OCT = [(2, 0), (6, 0), (8, 2), (8, 6), (6, 8), (2, 8), (0, 6), (0, 2)]
+
+
+def _xy(pts):
+    return [p[0] for p in pts], [p[1] for p in pts]
+
+
+def test_half_overlap_squares():
+    i2, u2, d2, x2 = boolean_pair_measures(
+        [0, 2, 2, 0], [0, 0, 2, 2], [1, 3, 3, 1], [0, 0, 2, 2]
+    )
+    assert (i2, u2, d2, x2) == (4, 12, 4, 8)
+
+
+def test_disjoint_and_contained():
+    assert boolean_pair_measures(
+        [0, 1, 1, 0], [0, 0, 1, 1], [5, 6, 6, 5], [0, 0, 1, 1]
+    ) == (0, 4, 2, 4)
+    assert boolean_pair_measures(
+        [0, 10, 10, 0], [0, 0, 10, 10], [2, 4, 4, 2], [2, 2, 4, 4]
+    ) == (8, 200, 192, 192)
+
+
+def test_square_inscribed_in_diamond():
+    # every square corner lies ON the diamond boundary: closed-set
+    # containment, zero diff
+    i2, u2, d2, x2 = boolean_pair_measures(
+        [0, 4, 4, 0], [0, 0, 4, 4], [2, 6, 2, -2], [-2, 2, 6, 2]
+    )
+    assert (i2, u2, d2, x2) == (32, 64, 0, 32)
+
+
+def test_nonconvex_notch_vs_octagon():
+    ax, ay = [0, 12, 12, 8, 8, 4, 4, 0], [0, 0, 10, 10, 6, 6, 10, 10]
+    bx, by = _xy(OCT)
+    i2, u2, d2, x2 = boolean_pair_measures(ax, ay, bx, by)
+    a2 = 2 * (12 * 10 - 4 * 4)  # notched rect, doubled
+    b2 = 2 * 56  # octagon 8x8 minus four 2x2/2 corners
+    assert u2 == a2 + b2 - i2
+    assert d2 == a2 - i2
+    assert x2 == u2 - i2
+    assert i2 == 100  # pinned
+
+
+def test_orientation_and_rotation_invariance():
+    ax, ay = [0, 12, 12, 8, 8, 4, 4, 0], [0, 0, 10, 10, 6, 6, 10, 10]
+    bx, by = _xy(OCT)
+    base = boolean_pair_measures(ax, ay, bx, by)
+    # reverse B (CW), rotate A's start vertex
+    assert boolean_pair_measures(ax, ay, bx[::-1], by[::-1]) == base
+    assert boolean_pair_measures(
+        ax[3:] + ax[:3], ay[3:] + ay[:3], bx, by
+    ) == base
+
+
+def test_shared_edge_neighbors():
+    # two rects sharing the full edge x=2: boundary overlap is
+    # measure-zero in every statistic
+    assert boolean_pair_measures(
+        [0, 2, 2, 0], [0, 0, 3, 3], [2, 5, 5, 2], [0, 0, 3, 3]
+    ) == (0, 30, 12, 30)
+
+
+def _shoelace2(xs, ys):
+    n = len(xs)
+    return sum(
+        xs[i] * ys[(i + 1) % n] - xs[(i + 1) % n] * ys[i] for i in range(n)
+    )
+
+
+def _rand_convex(rng, n, cx, cy, r):
+    """Random convex CCW ring: sorted random angles around a center,
+    hull of the points to guarantee convexity."""
+    angs = sorted(rng.uniform(0, 2 * np.pi) for _ in range(n))
+    pts = []
+    for a in angs:
+        rr = r * rng.uniform(0.5, 1.0)
+        pts.append((round(cx + rr * np.cos(a)), round(cy + rr * np.sin(a))))
+    # convex hull (monotone chain) to clean collinear/reflex artifacts
+    pts = sorted(set(pts))
+    if len(pts) < 3:
+        return None
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lo = half(pts)
+    hi = half(pts[::-1])
+    hull = lo[:-1] + hi[:-1]
+    return hull if len(hull) >= 3 else None
+
+
+def test_parity_vs_convex_sutherland_hodgman():
+    """The sweep (exact Fractions, general) must agree with the S-H
+    convex path (float64) on random convex pairs at arbitrary angles —
+    two unrelated algorithms, one geometry."""
+    rng = random.Random(42)
+    checked = 0
+    for _ in range(60):
+        a = _rand_convex(rng, 8, 0, 0, 40)
+        b = _rand_convex(rng, 8, rng.randint(-30, 30), rng.randint(-30, 30), 40)
+        if a is None or b is None:
+            continue
+        ax, ay = _xy(a)
+        bx, by = _xy(b)
+        i2s, u2s, d2s, x2s = boolean_pair_measures(ax, ay, bx, by)
+        i2c, u2c, _, _ = convex_pair_stats(
+            np.asarray(ax, np.float64), np.asarray(ay, np.float64),
+            np.asarray(bx, np.float64), np.asarray(by, np.float64),
+        )
+        assert abs(float(i2s) - i2c) < 1e-6 * max(1.0, abs(i2c))
+        assert abs(float(u2s) - u2c) < 1e-6 * max(1.0, abs(u2c))
+        # diff/xor close under shoelace: area2(A) = inter + diff
+        a2 = abs(_shoelace2(ax, ay))
+        b2 = abs(_shoelace2(bx, by))
+        assert i2s + d2s == a2
+        assert x2s == (a2 - i2s) + (b2 - i2s)
+        checked += 1
+    assert checked >= 40
+
+
+def test_octilinear_corpus_is_integral():
+    """On the axis+45-degree even-vertex grid every measure is an exact
+    integer (denominator 1) — the property the SQL oracle relies on."""
+    rng = random.Random(7)
+    for _ in range(30):
+        x0, y0 = 2 * rng.randint(0, 50), 2 * rng.randint(0, 50)
+        w, h = 2 * rng.randint(12, 21), 2 * rng.randint(8, 19)
+        nx0 = x0 + 2 * rng.randint(1, 5)
+        nx1 = nx0 + 2 * rng.randint(2, 6)
+        ny = y0 + h - 2 * rng.randint(2, 6)
+        ax = [x0, x0 + w, x0 + w, nx1, nx1, nx0, nx0, x0]
+        ay = [y0, y0, y0 + h, y0 + h, ny, ny, y0 + h, y0 + h]
+        s = rng.randint(1, 4)
+        tx, ty = 2 * rng.randint(0, 60), 2 * rng.randint(0, 60)
+        bx = [p[0] * s + tx for p in OCT]
+        by = [p[1] * s + ty for p in OCT]
+        out = boolean_pair_measures(ax, ay, bx, by)
+        for fr in out:
+            assert isinstance(fr, Fraction) and fr.denominator == 1
+        i2, u2, d2, x2 = out
+        a2 = 2 * (w * h - (nx1 - nx0) * (y0 + h - ny))
+        b2 = 2 * (64 * s * s - 8 * s * s)
+        assert u2 == a2 + b2 - i2
+        assert d2 == a2 - i2
+        assert x2 == u2 - i2
+        assert 0 <= i2 <= min(a2, b2)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_measure_bounds_random_nonconvex(seed):
+    """Star-shaped non-convex rings at arbitrary angles: invariant
+    suite (no closed form, so check the lattice of inequalities)."""
+    rng = random.Random(seed)
+
+    def star(cx, cy, n, r1, r2):
+        pts = []
+        for k in range(2 * n):
+            a = np.pi * k / n
+            r = r1 if k % 2 == 0 else r2
+            pts.append((round(cx + r * np.cos(a)), round(cy + r * np.sin(a))))
+        return pts
+
+    for _ in range(10):
+        a = star(0, 0, rng.randint(3, 6), 40, rng.randint(12, 20))
+        b = star(rng.randint(-25, 25), rng.randint(-25, 25),
+                 rng.randint(3, 6), 35, rng.randint(10, 18))
+        ax, ay = _xy(a)
+        bx, by = _xy(b)
+        i2, u2, d2, x2 = boolean_pair_measures(ax, ay, bx, by)
+        a2 = abs(_shoelace2(ax, ay))
+        b2 = abs(_shoelace2(bx, by))
+        # every measure independently computed; shoelace closes the set
+        assert i2 + d2 == a2
+        assert u2 == i2 + x2
+        assert u2 + i2 == a2 + b2
+        assert i2 >= 0 and d2 >= 0 and u2 >= max(a2, b2)
