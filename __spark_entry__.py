@@ -2872,6 +2872,46 @@ def poly_boolean_sweep(spark: SparkSession, sf: str) -> DataFrame:
     return general_pair_boolean(pairs)
 
 
+def offset_sweep_square(spark: SparkSession, sf: str) -> DataFrame:
+    """Square-join offset of ARBITRARY simple polygons (operators/
+    boolean.py ``square_offset_any`` + kernels/polysweep.py
+    ``square_offset_measures``) — clipper jtSquare + etClosedPolygon
+    (clipper.cs:4744-5120) with NO scoping left: the offset region is
+    base ∪ (every edge ⊕ [-r, r]^2 — the convex hull of the endpoint
+    square corners, which absorbs vertex squares), measured exactly by
+    the N-piece union slab sweep.
+
+    Corpus: NON-CONVEX notched rectangles with one 45°-BEVELED corner
+    (so both axis and diagonal edges are exercised), all coordinates
+    and radii multiples of 4 — then every cross-piece crossing
+    (including 45°×45°) lands on an EVEN integer, every slab midline
+    is an exact integer, and the DuckDB oracle replays the whole
+    N-piece sweep in pure BIGINT. ORACLED both measures."""
+    from mvtspark.operators.boolean import square_offset_any
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf, "orders").where(k % 37 == 4)
+    x0 = 4 * ((k * 17) % 50)
+    y0 = 4 * ((k * 29) % 50)
+    x1 = x0 + 4 * (16 + k % 8)
+    y1 = y0 + 4 * (8 + (k * 7) % 12)
+    c = 4 * (1 + (k * 3) % 3)
+    nx0 = x0 + 4 * (1 + (k * 3) % 5)
+    nx1 = nx0 + 4 * (2 + (k * 5) % 5)
+    ny = y1 - 4 * (2 + (k * 11) % 5)
+    r = 4 * (1 + k % 2)
+    g = lambda col: col.cast("long")  # noqa: E731
+    rings = o.select(
+        k.alias("ring_id"),
+        F.array(g(x0), g(x1), g(x1), g(x1 - c), g(nx1),
+                g(nx1), g(nx0), g(nx0), g(x0)).alias("xs"),
+        F.array(g(y0), g(y0), g(y1 - c), g(y1), g(y1),
+                g(ny), g(ny), g(y1), g(y1)).alias("ys"),
+        g(r).alias("radius"),
+    )
+    return square_offset_any(rings)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2885,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 already confirmed.
     return {
         "poly_boolean_sweep": poly_boolean_sweep,
+        "offset_sweep_square": offset_sweep_square,
         "poly_union_area": poly_union_area,
         "minkowski_sum_area": minkowski_sum_area,
         "jpeg_roundtrip_psnr": jpeg_roundtrip_psnr,
@@ -3735,6 +3776,144 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(2*m.md, 0) AS BIGINT) AS diff_area2,
               CAST(COALESCE(2*m.mx, 0) AS BIGINT) AS xor_area2
             FROM pr p LEFT JOIN meas m ON m.k = p.k
+        """,
+        # N-piece union sweep replay in BIGINT: pieces = base ring +
+        # one square-dilation hull per edge (axis edges -> rects, the
+        # beveled 45-degree edge -> a hexagon, built by canonical
+        # direction CASE). Coordinates and radii are multiples of 4,
+        # so every cross-piece crossing (even 45x45) lands on an EVEN
+        # integer and every slab midline is an exact BIGINT.
+        "offset_sweep_square": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 37 = 4),
+            pr AS (SELECT k,
+                4*((k*17) % 50) AS x0, 4*((k*29) % 50) AS y0,
+                4*((k*17) % 50) + 4*(16 + k % 8) AS x1,
+                4*((k*29) % 50) + 4*(8 + (k*7) % 12) AS y1,
+                4*(1 + (k*3) % 3) AS c,
+                4*((k*17) % 50) + 4*(1 + (k*3) % 5) AS nx0,
+                4*((k*17) % 50) + 4*(1 + (k*3) % 5)
+                  + 4*(2 + (k*5) % 5) AS nx1,
+                4*((k*29) % 50) + 4*(8 + (k*7) % 12)
+                  - 4*(2 + (k*11) % 5) AS ny,
+                4*(1 + k % 2) AS r
+              FROM ks),
+            av AS (SELECT k, i,
+                CASE i WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1
+                       WHEN 3 THEN x1-c WHEN 4 THEN nx1 WHEN 5 THEN nx1
+                       WHEN 6 THEN nx0 WHEN 7 THEN nx0 ELSE x0 END AS vx,
+                CASE i WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y1-c
+                       WHEN 3 THEN y1 WHEN 4 THEN y1 WHEN 5 THEN ny
+                       WHEN 6 THEN ny WHEN 7 THEN y1 ELSE y1 END AS vy
+              FROM pr, range(9) t(i)),
+            bed AS (SELECT a1.k, a1.i,
+                a1.vx AS rx1, a1.vy AS ry1, a2.vx AS rx2, a2.vy AS ry2,
+                CASE WHEN (a2.vx < a1.vx)
+                       OR (a2.vx = a1.vx AND a2.vy < a1.vy)
+                     THEN a2.vx ELSE a1.vx END AS cx1,
+                CASE WHEN (a2.vx < a1.vx)
+                       OR (a2.vx = a1.vx AND a2.vy < a1.vy)
+                     THEN a2.vy ELSE a1.vy END AS cy1,
+                CASE WHEN (a2.vx < a1.vx)
+                       OR (a2.vx = a1.vx AND a2.vy < a1.vy)
+                     THEN a1.vx ELSE a2.vx END AS cx2,
+                CASE WHEN (a2.vx < a1.vx)
+                       OR (a2.vx = a1.vx AND a2.vy < a1.vy)
+                     THEN a1.vy ELSE a2.vy END AS cy2
+              FROM av a1 JOIN av a2
+                ON a2.k = a1.k AND a2.i = (a1.i + 1) % 9),
+            bcl AS (SELECT b.*, p.r,
+                CASE WHEN cy2 = cy1 THEN 0 WHEN cx2 = cx1 THEN 1
+                     WHEN cy2 > cy1 THEN 2 ELSE 3 END AS cls
+              FROM bed b JOIN pr p USING (k)),
+            pv AS (SELECT k, i + 1 AS piece, j,
+                CASE cls
+                  WHEN 0 THEN CASE j WHEN 0 THEN cx1-r WHEN 1 THEN cx2+r
+                    WHEN 2 THEN cx2+r ELSE cx1-r END
+                  WHEN 1 THEN CASE j WHEN 0 THEN cx1-r WHEN 1 THEN cx1+r
+                    WHEN 2 THEN cx1+r ELSE cx1-r END
+                  WHEN 2 THEN CASE j WHEN 0 THEN cx1-r WHEN 1 THEN cx1+r
+                    WHEN 2 THEN cx2+r WHEN 3 THEN cx2+r WHEN 4 THEN cx2-r
+                    ELSE cx1-r END
+                  ELSE CASE j WHEN 0 THEN cx1-r WHEN 1 THEN cx2-r
+                    WHEN 2 THEN cx2+r WHEN 3 THEN cx2+r WHEN 4 THEN cx1+r
+                    ELSE cx1-r END
+                END AS vx,
+                CASE cls
+                  WHEN 0 THEN CASE j WHEN 0 THEN cy1-r WHEN 1 THEN cy1-r
+                    WHEN 2 THEN cy1+r ELSE cy1+r END
+                  WHEN 1 THEN CASE j WHEN 0 THEN cy1-r WHEN 1 THEN cy1-r
+                    WHEN 2 THEN cy2+r ELSE cy2+r END
+                  WHEN 2 THEN CASE j WHEN 0 THEN cy1-r WHEN 1 THEN cy1-r
+                    WHEN 2 THEN cy2-r WHEN 3 THEN cy2+r WHEN 4 THEN cy2+r
+                    ELSE cy1+r END
+                  ELSE CASE j WHEN 0 THEN cy1-r WHEN 1 THEN cy2-r
+                    WHEN 2 THEN cy2-r WHEN 3 THEN cy2+r WHEN 4 THEN cy1+r
+                    ELSE cy1+r END
+                END AS vy
+              FROM bcl, range(6) u(j)),
+            ded AS (SELECT v1.k, v1.piece, v1.vx AS ex1, v1.vy AS ey1,
+                           v2.vx AS ex2, v2.vy AS ey2
+                    FROM pv v1 JOIN pv v2
+                      ON v2.k = v1.k AND v2.piece = v1.piece
+                     AND v2.j = (v1.j + 1) % 6),
+            ed AS (SELECT k, 0 AS piece, rx1 AS ex1, ry1 AS ey1,
+                          rx2 AS ex2, ry2 AS ey2 FROM bed
+                   UNION ALL
+                   SELECT k, piece, ex1, ey1, ex2, ey2 FROM ded),
+            xys AS (SELECT a.k,
+                a.ey1 + (((b.ex1-a.ex1)*(b.ey2-b.ey1)
+                        - (b.ey1-a.ey1)*(b.ex2-b.ex1))
+                       * (a.ey2-a.ey1))
+                     // ((a.ex2-a.ex1)*(b.ey2-b.ey1)
+                       - (a.ey2-a.ey1)*(b.ex2-b.ex1)) AS y
+              FROM ed a JOIN ed b ON b.k = a.k AND a.piece < b.piece
+              WHERE ((a.ex2-a.ex1)*(b.ey1-a.ey1)
+                   - (a.ey2-a.ey1)*(b.ex1-a.ex1))
+                  * ((a.ex2-a.ex1)*(b.ey2-a.ey1)
+                   - (a.ey2-a.ey1)*(b.ex2-a.ex1)) < 0
+                AND ((b.ex2-b.ex1)*(a.ey1-b.ey1)
+                   - (b.ey2-b.ey1)*(a.ex1-b.ex1))
+                  * ((b.ex2-b.ex1)*(a.ey2-b.ey1)
+                   - (b.ey2-b.ey1)*(a.ex2-b.ex1)) < 0),
+            evy AS (SELECT DISTINCT k, y FROM (
+                      SELECT k, ey1 AS y FROM ed
+                      UNION ALL SELECT k, y FROM xys)),
+            sl AS (SELECT k, ylo, yhi, (ylo + yhi) // 2 AS ym FROM (
+                     SELECT k, y AS ylo,
+                            lead(y) OVER (PARTITION BY k ORDER BY y)
+                              AS yhi
+                     FROM evy) WHERE yhi IS NOT NULL),
+            xing AS (SELECT s.k, s.ylo, s.yhi, e.piece,
+                e.ex1 + CASE WHEN e.ey2 = e.ey1 THEN 0
+                  ELSE (s.ym - e.ey1) * ((e.ex2-e.ex1) // (e.ey2-e.ey1))
+                  END AS xc
+              FROM sl s JOIN ed e ON e.k = s.k
+              WHERE least(e.ey1, e.ey2) < s.ym
+                AND s.ym < greatest(e.ey1, e.ey2)),
+            dl AS (SELECT k, ylo, yhi, xc,
+                CASE WHEN row_number() OVER (
+                  PARTITION BY k, ylo, piece ORDER BY xc) % 2 = 1
+                  THEN 1 ELSE -1 END AS d
+              FROM xing),
+            ev AS (SELECT k, ylo, yhi, xc, SUM(d) AS dd
+                   FROM dl GROUP BY k, ylo, yhi, xc),
+            seg AS (SELECT k, ylo, yhi, xc,
+                lead(xc) OVER (PARTITION BY k, ylo ORDER BY xc) AS xn,
+                SUM(dd) OVER (PARTITION BY k, ylo ORDER BY xc
+                              ROWS UNBOUNDED PRECEDING) AS cov
+              FROM ev),
+            uni AS (SELECT k,
+                SUM(CASE WHEN cov >= 1 THEN (xn-xc)*(yhi-ylo)
+                    ELSE 0 END) AS mu
+              FROM seg WHERE xn IS NOT NULL GROUP BY k),
+            base AS (SELECT k, ABS(SUM(rx1*ry2 - rx2*ry1)) AS b2
+                     FROM bed GROUP BY k)
+            SELECT p.k AS ring_id,
+              CAST(b.b2 AS BIGINT) AS base_area2,
+              CAST(2*u.mu AS BIGINT) AS offset_area2
+            FROM pr p JOIN base b ON b.k = p.k
+            JOIN uni u ON u.k = p.k
         """,
         "poly_union_area": """
             WITH ks AS (SELECT o_orderkey AS k FROM orders

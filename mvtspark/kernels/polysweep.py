@@ -117,6 +117,95 @@ def _measures_at(xa, xb):
     return inter, union, diff, xor
 
 
+def _hull(points):
+    """Convex hull (monotone chain) of integer points — used to build
+    each edge's square-join dilation piece exactly."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lo = half(pts)
+    hi = half(pts[::-1])
+    return lo[:-1] + hi[:-1]
+
+
+def _union_area2(pieces):
+    """TWICE the exact area of the union of simple rings (each given
+    as a vertex tuple list) — same slab machinery as the pair sweep,
+    generalized to N pieces: events at every vertex y and every
+    cross-piece edge crossing; per slab midline each piece contributes
+    its even-odd intervals as +1/−1 endpoint deltas, and the union is
+    measured where the running coverage count is >= 1 (within one
+    simple piece the even-odd intervals are disjoint, so the sum of
+    per-piece indicators IS the coverage count)."""
+    edges = [_edges([p[0] for p in ring], [p[1] for p in ring])
+             for ring in pieces]
+    ev = set()
+    for es in edges:
+        ev.update(e[1] for e in es)
+    for i in range(len(edges)):
+        for j in range(i + 1, len(edges)):
+            ev.update(_crossing_ys(edges[i], edges[j]))
+    events = sorted(ev)
+    total2 = Fraction(0)
+    for k in range(len(events) - 1):
+        ylo, yhi = events[k], events[k + 1]
+        ym = (ylo + yhi) / 2
+        deltas = []
+        for es in edges:
+            xs = _xings_at(es, ym)
+            for t, x in enumerate(xs):
+                deltas.append((x, 1 if t % 2 == 0 else -1))
+        if not deltas:
+            continue
+        deltas.sort()
+        width = Fraction(0)
+        cov = 0
+        for t in range(len(deltas) - 1):
+            cov += deltas[t][1]
+            if cov >= 1:
+                width += deltas[t + 1][0] - deltas[t][0]
+        total2 += width * 2 * (yhi - ylo)
+    return total2
+
+
+def square_offset_measures(xs, ys, r):
+    """(base_area2, offset_area2) of the square-join offset (clipper
+    jtSquare + etClosedPolygon, clipper.cs:4744-5120) of an ARBITRARY
+    simple ring — no rectilinearity or convexity scoping: the offset
+    region is base ∪ (every edge ⊕ [-r, r]^2), each edge dilation
+    being the convex hull of its endpoints' square corners (which
+    absorbs the vertex squares), measured exactly by the N-piece
+    union sweep. Integer coordinates and radius in; exact Fractions
+    out (integral on octilinear-even corpora)."""
+    n = len(xs)
+    base = [(int(xs[i]), int(ys[i])) for i in range(n)]
+    pieces = [base]
+    for i in range(n):
+        p1, p2 = base[i], base[(i + 1) % n]
+        pieces.append(_hull([
+            (px + sx * r, py + sy * r)
+            for (px, py) in (p1, p2) for sx in (-1, 1) for sy in (-1, 1)
+        ]))
+    base2 = abs(sum(
+        Fraction(base[i][0]) * base[(i + 1) % n][1]
+        - Fraction(base[(i + 1) % n][0]) * base[i][1]
+        for i in range(n)
+    ))
+    return base2, _union_area2(pieces)
+
+
 def boolean_pair_measures(ax, ay, bx, by):
     """(inter_area2, union_area2, diff_area2, xor_area2) — each TWICE
     the exact area (Fractions; integral for integer-vertex rings whose

@@ -154,6 +154,37 @@ def general_pair_boolean(pairs: DataFrame) -> DataFrame:
     return pairs.mapInPandas(_run, GENERAL_PAIR_SCHEMA)
 
 
+OFFSET_ANY_SCHEMA = "ring_id long, base_area2 long, offset_area2 long"
+
+
+def square_offset_any(rings: DataFrame) -> DataFrame:
+    """Square-join offset of ARBITRARY simple rings (kernels/
+    polysweep.py ``square_offset_measures`` — clipper jtSquare +
+    etClosedPolygon, clipper.cs:4744-5120, with NO rectilinearity or
+    convexity scoping): exact doubled base and offset-region areas via
+    the N-piece union slab sweep (base ∪ per-edge square dilations).
+    Input rows carry one simple integer ring and its radius
+    (ring_id, xs, ys, radius). Pure map — no shuffle; rings
+    distribute."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mvtspark.kernels.polysweep import square_offset_measures
+
+        def _as_long(fr) -> int:
+            return int(fr) if fr.denominator == 1 else round(float(fr))
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                b2, o2 = square_offset_measures(r.xs, r.ys, int(r.radius))
+                rows.append((int(r.ring_id), _as_long(b2), _as_long(o2)))
+            yield pd.DataFrame(
+                rows, columns=["ring_id", "base_area2", "offset_area2"]
+            )
+
+    return rings.mapInPandas(_run, OFFSET_ANY_SCHEMA)
+
+
 def _coverage_grid(rx0, ry0, rx1, ry1, extra_x=(), extra_y=()):
     """Coordinate-compressed coverage counts for axis-aligned rects:
     returns (xs, ys, cnt) where cnt[i, j] = number of rects covering

@@ -170,6 +170,110 @@ def test_octilinear_corpus_is_integral():
         assert 0 <= i2 <= min(a2, b2)
 
 
+def test_square_offset_rect_analytic():
+    """Offset of a rectangle = (w+2r)(h+2r) exactly."""
+    from mvtspark.kernels.polysweep import square_offset_measures
+
+    for (w, h, r) in [(4, 4, 2), (10, 6, 3), (8, 2, 1)]:
+        b2, o2 = square_offset_measures([0, w, w, 0], [0, 0, h, h], r)
+        assert b2 == 2 * w * h
+        assert o2 == 2 * (w + 2 * r) * (h + 2 * r)
+
+
+def test_square_offset_convex_mixed_area():
+    """For a CONVEX ring, area(P ⊕ [-r,r]^2) = A + r·Σ(|dx|+|dy|) +
+    4r² (Minkowski mixed-area identity) — an independent analytic
+    check covering the 45-degree edges of the octagon."""
+    from mvtspark.kernels.polysweep import square_offset_measures
+
+    ox = [p[0] for p in OCT]
+    oy = [p[1] for p in OCT]
+    for r in (1, 2, 3):
+        b2, o2 = square_offset_measures(ox, oy, r)
+        assert b2 == 2 * 56
+        per_l1 = sum(
+            abs(ox[(i + 1) % 8] - ox[i]) + abs(oy[(i + 1) % 8] - oy[i])
+            for i in range(8)
+        )
+        assert o2 == b2 + 2 * (r * per_l1 + 4 * r * r)
+
+
+def test_square_offset_nonconvex_l_shape():
+    """Concave L: exact value cross-checked against an independent
+    Chebyshev-distance membership count on the integer grid (the
+    offset region of a rectilinear ring is rectilinear, so unit-cell
+    center counting is exact)."""
+    from mvtspark.kernels.polysweep import square_offset_measures
+
+    xs, ys = [0, 8, 8, 4, 4, 0], [0, 0, 4, 4, 8, 8]
+    r = 2
+    b2, o2 = square_offset_measures(xs, ys, r)
+    assert b2 == 2 * 48
+
+    def inside(px, py):
+        n = len(xs)
+        ins = False
+        j = n - 1
+        for i in range(n):
+            if (ys[i] > py) != (ys[j] > py):
+                xint = xs[i] + (py - ys[i]) * (xs[j] - xs[i]) / (ys[j] - ys[i])
+                if px < xint:
+                    ins = not ins
+            j = i
+        return ins
+
+    def near_edge(px, py):
+        n = len(xs)
+        for i in range(n):
+            x1, y1 = xs[i], ys[i]
+            x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+            # axis-aligned edges: Chebyshev distance has closed form
+            if x1 == x2:
+                d = max(abs(px - x1), max(min(y1, y2) - py,
+                                          py - max(y1, y2), 0))
+            else:
+                d = max(abs(py - y1), max(min(x1, x2) - px,
+                                          px - max(x1, x2), 0))
+            if d <= r:
+                return True
+        return False
+
+    cells = 0
+    for iy in range(-r - 1, 8 + r + 1):
+        for ix in range(-r - 1, 8 + r + 1):
+            px, py = ix + 0.5, iy + 0.5
+            if inside(px, py) or near_edge(px, py):
+                cells += 1
+    assert o2 == 2 * cells
+
+
+def test_square_offset_beveled_nonconvex_invariants():
+    """The oracled corpus shape (notched rect with a 45° bevel):
+    integrality on the multiple-of-4 grid plus measure bounds."""
+    from mvtspark.kernels.polysweep import square_offset_measures
+
+    rng = random.Random(11)
+    for _ in range(10):
+        x0, y0 = 4 * rng.randint(0, 50), 4 * rng.randint(0, 50)
+        x1 = x0 + 4 * rng.randint(16, 23)
+        y1 = y0 + 4 * rng.randint(8, 19)
+        c = 4 * rng.randint(1, 3)
+        nx0 = x0 + 4 * rng.randint(1, 5)
+        nx1 = nx0 + 4 * rng.randint(2, 6)
+        ny = y1 - 4 * rng.randint(2, 6)
+        r = 4 * rng.randint(1, 2)
+        xs = [x0, x1, x1, x1 - c, nx1, nx1, nx0, nx0, x0]
+        ys = [y0, y0, y1 - c, y1, y1, ny, ny, y1, y1]
+        b2, o2 = square_offset_measures(xs, ys, r)
+        assert b2.denominator == 1 and o2.denominator == 1
+        # base area: rect − notch − bevel corner triangle
+        assert b2 == 2 * ((x1 - x0) * (y1 - y0)
+                          - (nx1 - nx0) * (y1 - ny)) - c * c
+        assert o2 > b2
+        # offset fits in the dilated bounding box
+        assert o2 <= 2 * (x1 - x0 + 2 * r) * (y1 - y0 + 2 * r)
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_measure_bounds_random_nonconvex(seed):
     """Star-shaped non-convex rings at arbitrary angles: invariant
