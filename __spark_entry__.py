@@ -2912,6 +2912,48 @@ def offset_sweep_square(spark: SparkSession, sf: str) -> DataFrame:
     return square_offset_any(rings)
 
 
+def minkowski_nonconvex_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Minkowski sum of a NON-CONVEX simple polygon with a convex one
+    (operators/boolean.py ``minkowski_any_convex`` + kernels/
+    polysweep.py) — clipper MinkowskiSum (clipper.cs:4596-4687) past
+    the convex⊗convex edge merge: with B anchored at a vertex,
+    A ⊕ B = A ∪ ⋃_edges hull((p1 ⊕ B) ∪ (p2 ⊕ B)), measured exactly
+    by the N-piece union slab sweep.
+
+    Corpus: beveled notched rectangles (non-convex, axis + 45° edges)
+    ⊕ octagons, everything on the ×4 grid so every cross-piece
+    crossing is even and the DuckDB oracle replays the sweep in pure
+    BIGINT. The oracle builds each edge's dilation hull CLOSED-FORM:
+    B ⊕ [0,t] for octilinear t fuses to exactly 8 vertices, where
+    vertex oi advances by t iff (oi − cls − 1) mod 8 < 4 with cls the
+    direction class of t — no hull computation in SQL. ORACLED both
+    measures."""
+    from mvtspark.operators.boolean import minkowski_any_convex
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf, "orders").where(k % 43 == 6)
+    x0 = 4 * ((k * 17) % 50)
+    y0 = 4 * ((k * 29) % 50)
+    x1 = x0 + 4 * (16 + k % 8)
+    y1 = y0 + 4 * (8 + (k * 7) % 12)
+    c = 4 * (1 + (k * 3) % 3)
+    nx0 = x0 + 4 * (1 + (k * 3) % 5)
+    nx1 = nx0 + 4 * (2 + (k * 5) % 5)
+    ny = y1 - 4 * (2 + (k * 11) % 5)
+    s = 4 * (1 + (k * 7) % 2)
+    g = lambda col: col.cast("long")  # noqa: E731
+    pairs = o.select(
+        k.alias("pair_id"),
+        F.array(g(x0), g(x1), g(x1), g(x1 - c), g(nx1),
+                g(nx1), g(nx0), g(nx0), g(x0)).alias("ax"),
+        F.array(g(y0), g(y0), g(y1 - c), g(y1), g(y1),
+                g(ny), g(ny), g(y1), g(y1)).alias("ay"),
+        F.array(*[g(F.lit(ox) * s) for ox, _ in _OCT_BASE]).alias("bx"),
+        F.array(*[g(F.lit(oy) * s) for _, oy in _OCT_BASE]).alias("by"),
+    )
+    return minkowski_any_convex(pairs)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2926,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "poly_boolean_sweep": poly_boolean_sweep,
         "offset_sweep_square": offset_sweep_square,
+        "minkowski_nonconvex_sum": minkowski_nonconvex_sum,
         "poly_union_area": poly_union_area,
         "minkowski_sum_area": minkowski_sum_area,
         "jpeg_roundtrip_psnr": jpeg_roundtrip_psnr,
@@ -3776,6 +3819,120 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(2*m.md, 0) AS BIGINT) AS diff_area2,
               CAST(COALESCE(2*m.mx, 0) AS BIGINT) AS xor_area2
             FROM pr p LEFT JOIN meas m ON m.k = p.k
+        """,
+        # N-piece union sweep replay in BIGINT, pieces built
+        # CLOSED-FORM: B + [0,t] for octilinear t fuses to exactly
+        # 8 vertices; vertex oi advances by t iff
+        # (oi - cls - 1) mod 8 < 4, cls = direction class of t.
+        "minkowski_nonconvex_sum": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 43 = 6),
+            pr AS (SELECT k,
+                4*((k*17) % 50) AS x0, 4*((k*29) % 50) AS y0,
+                4*((k*17) % 50) + 4*(16 + k % 8) AS x1,
+                4*((k*29) % 50) + 4*(8 + (k*7) % 12) AS y1,
+                4*(1 + (k*3) % 3) AS c,
+                4*((k*17) % 50) + 4*(1 + (k*3) % 5) AS nx0,
+                4*((k*17) % 50) + 4*(1 + (k*3) % 5)
+                  + 4*(2 + (k*5) % 5) AS nx1,
+                4*((k*29) % 50) + 4*(8 + (k*7) % 12)
+                  - 4*(2 + (k*11) % 5) AS ny,
+                4*(1 + (k*7) % 2) AS s
+              FROM ks),
+            av AS (SELECT k, i,
+                CASE i WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1
+                       WHEN 3 THEN x1-c WHEN 4 THEN nx1 WHEN 5 THEN nx1
+                       WHEN 6 THEN nx0 WHEN 7 THEN nx0 ELSE x0 END AS vx,
+                CASE i WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y1-c
+                       WHEN 3 THEN y1 WHEN 4 THEN y1 WHEN 5 THEN ny
+                       WHEN 6 THEN ny WHEN 7 THEN y1 ELSE y1 END AS vy
+              FROM pr, range(9) t(i)),
+            bed AS (SELECT a1.k, a1.i,
+                a1.vx AS rx1, a1.vy AS ry1, a2.vx AS rx2, a2.vy AS ry2,
+                CASE
+                  WHEN a2.vy = a1.vy AND a2.vx > a1.vx THEN 0
+                  WHEN a2.vx > a1.vx AND a2.vy > a1.vy THEN 1
+                  WHEN a2.vx = a1.vx AND a2.vy > a1.vy THEN 2
+                  WHEN a2.vx < a1.vx AND a2.vy > a1.vy THEN 3
+                  WHEN a2.vy = a1.vy AND a2.vx < a1.vx THEN 4
+                  WHEN a2.vx < a1.vx AND a2.vy < a1.vy THEN 5
+                  WHEN a2.vx = a1.vx AND a2.vy < a1.vy THEN 6
+                  ELSE 7 END AS cls
+              FROM av a1 JOIN av a2
+                ON a2.k = a1.k AND a2.i = (a1.i + 1) % 9),
+            ob(oi, obx, oby) AS (SELECT * FROM (VALUES
+              (0,2,0),(1,6,0),(2,8,2),(3,8,6),
+              (4,6,8),(5,2,8),(6,0,6),(7,0,2))),
+            pv AS (SELECT b.k, b.i + 1 AS piece, o.oi AS j,
+                CASE WHEN ((o.oi - b.cls + 7) % 8) < 4
+                     THEN b.rx2 ELSE b.rx1 END
+                  + p.s*o.obx - 2*p.s AS vx,
+                CASE WHEN ((o.oi - b.cls + 7) % 8) < 4
+                     THEN b.ry2 ELSE b.ry1 END
+                  + p.s*o.oby AS vy
+              FROM bed b JOIN pr p USING (k), ob o),
+            ded AS (SELECT v1.k, v1.piece, v1.vx AS ex1, v1.vy AS ey1,
+                           v2.vx AS ex2, v2.vy AS ey2
+                    FROM pv v1 JOIN pv v2
+                      ON v2.k = v1.k AND v2.piece = v1.piece
+                     AND v2.j = (v1.j + 1) % 8),
+            ed AS (SELECT k, 0 AS piece, rx1 AS ex1, ry1 AS ey1,
+                          rx2 AS ex2, ry2 AS ey2 FROM bed
+                   UNION ALL
+                   SELECT k, piece, ex1, ey1, ex2, ey2 FROM ded),
+            xys AS (SELECT a.k,
+                a.ey1 + (((b.ex1-a.ex1)*(b.ey2-b.ey1)
+                        - (b.ey1-a.ey1)*(b.ex2-b.ex1))
+                       * (a.ey2-a.ey1))
+                     // ((a.ex2-a.ex1)*(b.ey2-b.ey1)
+                       - (a.ey2-a.ey1)*(b.ex2-b.ex1)) AS y
+              FROM ed a JOIN ed b ON b.k = a.k AND a.piece < b.piece
+              WHERE ((a.ex2-a.ex1)*(b.ey1-a.ey1)
+                   - (a.ey2-a.ey1)*(b.ex1-a.ex1))
+                  * ((a.ex2-a.ex1)*(b.ey2-a.ey1)
+                   - (a.ey2-a.ey1)*(b.ex2-a.ex1)) < 0
+                AND ((b.ex2-b.ex1)*(a.ey1-b.ey1)
+                   - (b.ey2-b.ey1)*(a.ex1-b.ex1))
+                  * ((b.ex2-b.ex1)*(a.ey2-b.ey1)
+                   - (b.ey2-b.ey1)*(a.ex2-b.ex1)) < 0),
+            evy AS (SELECT DISTINCT k, y FROM (
+                      SELECT k, ey1 AS y FROM ed
+                      UNION ALL SELECT k, y FROM xys)),
+            sl AS (SELECT k, ylo, yhi, (ylo + yhi) // 2 AS ym FROM (
+                     SELECT k, y AS ylo,
+                            lead(y) OVER (PARTITION BY k ORDER BY y)
+                              AS yhi
+                     FROM evy) WHERE yhi IS NOT NULL),
+            xing AS (SELECT s.k, s.ylo, s.yhi, e.piece,
+                e.ex1 + CASE WHEN e.ey2 = e.ey1 THEN 0
+                  ELSE (s.ym - e.ey1) * ((e.ex2-e.ex1) // (e.ey2-e.ey1))
+                  END AS xc
+              FROM sl s JOIN ed e ON e.k = s.k
+              WHERE least(e.ey1, e.ey2) < s.ym
+                AND s.ym < greatest(e.ey1, e.ey2)),
+            dl AS (SELECT k, ylo, yhi, xc,
+                CASE WHEN row_number() OVER (
+                  PARTITION BY k, ylo, piece ORDER BY xc) % 2 = 1
+                  THEN 1 ELSE -1 END AS d
+              FROM xing),
+            ev AS (SELECT k, ylo, yhi, xc, SUM(d) AS dd
+                   FROM dl GROUP BY k, ylo, yhi, xc),
+            seg AS (SELECT k, ylo, yhi, xc,
+                lead(xc) OVER (PARTITION BY k, ylo ORDER BY xc) AS xn,
+                SUM(dd) OVER (PARTITION BY k, ylo ORDER BY xc
+                              ROWS UNBOUNDED PRECEDING) AS cov
+              FROM ev),
+            uni AS (SELECT k,
+                SUM(CASE WHEN cov >= 1 THEN (xn-xc)*(yhi-ylo)
+                    ELSE 0 END) AS mu
+              FROM seg WHERE xn IS NOT NULL GROUP BY k),
+            base AS (SELECT k, ABS(SUM(rx1*ry2 - rx2*ry1)) AS b2
+                     FROM bed GROUP BY k)
+            SELECT p.k AS pair_id,
+              CAST(b.b2 AS BIGINT) AS a_area2,
+              CAST(2*u.mu AS BIGINT) AS sum_area2
+            FROM pr p JOIN base b ON b.k = p.k
+            JOIN uni u ON u.k = p.k
         """,
         # N-piece union sweep replay in BIGINT: pieces = base ring +
         # one square-dilation hull per edge (axis edges -> rects, the

@@ -206,6 +206,34 @@ def square_offset_measures(xs, ys, r):
     return base2, _union_area2(pieces)
 
 
+def minkowski_any_convex_measures(ax, ay, bx, by):
+    """(a_area2, sum_area2) for the Minkowski sum A ⊕ B of an
+    ARBITRARY simple ring A with a CONVEX ring B — past polyclip.py's
+    convex⊗convex edge merge (clipper MinkowskiSum,
+    clipper.cs:4596-4687, which the reference vendors for arbitrary
+    paths): with B translated so one vertex sits at the origin
+    (area-invariant), A ⊕ B = A ∪ ⋃_edges hull((p1 ⊕ B) ∪ (p2 ⊕ B)),
+    a union of |A| convex pieces plus A itself, measured exactly by
+    the N-piece slab sweep. Integer coordinates in, exact Fractions
+    out."""
+    n = len(ax)
+    base = [(int(ax[i]), int(ay[i])) for i in range(n)]
+    b0x, b0y = int(bx[0]), int(by[0])
+    q = [(int(bx[j]) - b0x, int(by[j]) - b0y) for j in range(len(bx))]
+    pieces = [base]
+    for i in range(n):
+        p1, p2 = base[i], base[(i + 1) % n]
+        pieces.append(_hull([
+            (qx + px, qy + py) for (qx, qy) in q for (px, py) in (p1, p2)
+        ]))
+    a2 = abs(sum(
+        Fraction(base[i][0]) * base[(i + 1) % n][1]
+        - Fraction(base[(i + 1) % n][0]) * base[i][1]
+        for i in range(n)
+    ))
+    return a2, _union_area2(pieces)
+
+
 def boolean_pair_measures(ax, ay, bx, by):
     """(inter_area2, union_area2, diff_area2, xor_area2) — each TWICE
     the exact area (Fractions; integral for integer-vertex rings whose

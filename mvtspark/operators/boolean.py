@@ -154,6 +154,38 @@ def general_pair_boolean(pairs: DataFrame) -> DataFrame:
     return pairs.mapInPandas(_run, GENERAL_PAIR_SCHEMA)
 
 
+MINK_ANY_SCHEMA = "pair_id long, a_area2 long, sum_area2 long"
+
+
+def minkowski_any_convex(pairs: DataFrame) -> DataFrame:
+    """Per-row Minkowski sum measures for ARBITRARY simple ring A ⊕
+    CONVEX ring B (kernels/polysweep.py
+    ``minkowski_any_convex_measures`` — clipper MinkowskiSum,
+    clipper.cs:4596-4687, lifted past the convex⊗convex edge merge):
+    exact doubled area of A and of A ⊕ B via the N-piece union slab
+    sweep over A ∪ per-edge dilation hulls. Input rows carry
+    (pair_id, ax, ay, bx, by). Pure map — no shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mvtspark.kernels.polysweep import minkowski_any_convex_measures
+
+        def _as_long(fr) -> int:
+            return int(fr) if fr.denominator == 1 else round(float(fr))
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a2, s2 = minkowski_any_convex_measures(
+                    r.ax, r.ay, r.bx, r.by
+                )
+                rows.append((int(r.pair_id), _as_long(a2), _as_long(s2)))
+            yield pd.DataFrame(
+                rows, columns=["pair_id", "a_area2", "sum_area2"]
+            )
+
+    return pairs.mapInPandas(_run, MINK_ANY_SCHEMA)
+
+
 OFFSET_ANY_SCHEMA = "ring_id long, base_area2 long, offset_area2 long"
 
 

@@ -274,6 +274,74 @@ def test_square_offset_beveled_nonconvex_invariants():
         assert o2 <= 2 * (x1 - x0 + 2 * r) * (y1 - y0 + 2 * r)
 
 
+def test_minkowski_any_vs_convex_edge_merge():
+    """For CONVEX A the sweep-based sum must agree with the angular
+    edge merge (kernels/polyclip.py) — two unrelated algorithms."""
+    from mvtspark.kernels.polyclip import minkowski_sum_convex, ring_area2
+    from mvtspark.kernels.polysweep import minkowski_any_convex_measures
+
+    ox = [p[0] for p in OCT]
+    oy = [p[1] for p in OCT]
+    for (axs, ays) in [
+        ([0, 10, 10, 0], [0, 0, 6, 6]),
+        ([0, 7, 3], [0, 2, 9]),
+        (ox, oy),
+    ]:
+        a2, s2 = minkowski_any_convex_measures(axs, ays, ox, oy)
+        vx, vy = minkowski_sum_convex(
+            np.asarray(axs, np.float64), np.asarray(ays, np.float64),
+            np.asarray(ox, np.float64), np.asarray(oy, np.float64),
+        )
+        assert float(s2) == ring_area2(vx, vy)
+        assert a2 == abs(_shoelace2(axs, ays))
+
+
+def test_minkowski_any_square_is_offset():
+    """A ⊕ [0, 2r]² has the same area as the square-join offset by r
+    (translation invariance) — third algorithm cross-check, on a
+    NON-CONVEX L-shape."""
+    from mvtspark.kernels.polysweep import (
+        minkowski_any_convex_measures, square_offset_measures)
+
+    xs, ys = [0, 8, 8, 4, 4, 0], [0, 0, 4, 4, 8, 8]
+    for r in (1, 2, 3):
+        _, s2 = minkowski_any_convex_measures(
+            xs, ys, [0, 2 * r, 2 * r, 0], [0, 0, 2 * r, 2 * r]
+        )
+        _, o2 = square_offset_measures(xs, ys, r)
+        assert s2 == o2
+
+
+def test_minkowski_any_nonconvex_invariants():
+    """Beveled notched rect ⊕ scaled octagon on the ×4 grid (the
+    oracled corpus class): integrality + containment bounds."""
+    from mvtspark.kernels.polysweep import minkowski_any_convex_measures
+
+    rng = random.Random(23)
+    ox = [p[0] for p in OCT]
+    oy = [p[1] for p in OCT]
+    for _ in range(8):
+        x0, y0 = 4 * rng.randint(0, 50), 4 * rng.randint(0, 50)
+        x1 = x0 + 4 * rng.randint(16, 23)
+        y1 = y0 + 4 * rng.randint(8, 19)
+        c = 4 * rng.randint(1, 3)
+        nx0 = x0 + 4 * rng.randint(1, 5)
+        nx1 = nx0 + 4 * rng.randint(2, 6)
+        ny = y1 - 4 * rng.randint(2, 6)
+        s = 4 * rng.randint(1, 2)
+        xs = [x0, x1, x1, x1 - c, nx1, nx1, nx0, nx0, x0]
+        ys = [y0, y0, y1 - c, y1, y1, ny, ny, y1, y1]
+        a2, s2 = minkowski_any_convex_measures(
+            xs, ys, [v * s for v in ox], [v * s for v in oy]
+        )
+        assert a2.denominator == 1 and s2.denominator == 1
+        b2 = 2 * 56 * s * s
+        # sum contains a translate of A and of B; bounded by the
+        # dilated bbox of A
+        assert s2 >= max(a2, b2)
+        assert s2 <= 2 * (x1 - x0 + 8 * s) * (y1 - y0 + 8 * s)
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_measure_bounds_random_nonconvex(seed):
     """Star-shaped non-convex rings at arbitrary angles: invariant
