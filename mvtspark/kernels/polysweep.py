@@ -44,11 +44,14 @@ from fractions import Fraction
 
 
 def _edges(xs, ys):
+    # plain Python ints: the O(E^2) crossing tests and O(slabs*edges)
+    # straddle tests stay in fast integer arithmetic; Fractions only
+    # materialize at actual divisions (crossing y's, midline x's)
     n = len(xs)
     return [
         (
-            Fraction(int(xs[i])), Fraction(int(ys[i])),
-            Fraction(int(xs[(i + 1) % n])), Fraction(int(ys[(i + 1) % n])),
+            int(xs[i]), int(ys[i]),
+            int(xs[(i + 1) % n]), int(ys[(i + 1) % n]),
         )
         for i in range(n)
     ]
@@ -72,8 +75,9 @@ def _crossing_ys(ea, eb):
             s3 = d2x * (p1y - q1y) - d2y * (p1x - q1x)
             s4 = d2x * (p2y - q1y) - d2y * (p2x - q1x)
             if (s1 * s2 < 0) and (s3 * s4 < 0):
-                tp = ((q1x - p1x) * d2y - (q1y - p1y) * d2x) / den
-                ys.append(p1y + tp * d1y)
+                num = (q1x - p1x) * d2y - (q1y - p1y) * d2x
+                y = p1y + Fraction(num * d1y, den)
+                ys.append(y if y.denominator != 1 else int(y))
     return ys
 
 
@@ -85,7 +89,8 @@ def _xings_at(edges, ym):
     for (x1, y1, x2, y2) in edges:
         lo, hi = (y1, y2) if y1 <= y2 else (y2, y1)
         if lo < ym < hi:
-            xs.append(x1 + (ym - y1) * (x2 - x1) / (y2 - y1))
+            x = x1 + (ym - y1) * Fraction(x2 - x1, y2 - y1)
+            xs.append(x if x.denominator != 1 else int(x))
     xs.sort()
     return xs
 
@@ -161,7 +166,7 @@ def _union_area2(pieces):
     total2 = Fraction(0)
     for k in range(len(events) - 1):
         ylo, yhi = events[k], events[k + 1]
-        ym = (ylo + yhi) / 2
+        ym = Fraction(ylo + yhi, 2)
         deltas = []
         for es in edges:
             xs = _xings_at(es, ym)
@@ -248,7 +253,7 @@ def boolean_pair_measures(ax, ay, bx, by):
     inter2 = union2 = diff2 = xor2 = Fraction(0)
     for k in range(len(events) - 1):
         ylo, yhi = events[k], events[k + 1]
-        ym = (ylo + yhi) / 2
+        ym = Fraction(ylo + yhi, 2)
         xa = _xings_at(ea, ym)
         xb = _xings_at(eb, ym)
         if not xa and not xb:
