@@ -274,6 +274,38 @@ def test_square_offset_beveled_nonconvex_invariants():
         assert o2 <= 2 * (x1 - x0 + 2 * r) * (y1 - y0 + 2 * r)
 
 
+def test_union_sweep_vs_coverage_grid():
+    """N-piece union sweep vs the coordinate-compressed coverage grid
+    (operators/boolean.py rect-union path) on random axis-aligned rect
+    sets — two independent exact union algorithms."""
+    import numpy as np
+
+    from mvtspark.kernels.polysweep import _union_area2
+    from mvtspark.operators.boolean import _coverage_grid
+
+    rng = random.Random(99)
+    for _ in range(20):
+        n = rng.randint(2, 8)
+        rects = []
+        for _ in range(n):
+            x0, y0 = rng.randint(0, 20), rng.randint(0, 20)
+            rects.append((x0, y0, x0 + rng.randint(1, 9),
+                          y0 + rng.randint(1, 9)))
+        pieces = [
+            [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+            for (x0, y0, x1, y1) in rects
+        ]
+        u2 = _union_area2(pieces)
+        xs, ys, cnt = _coverage_grid(
+            np.array([r[0] for r in rects], np.int64),
+            np.array([r[1] for r in rects], np.int64),
+            np.array([r[2] for r in rects], np.int64),
+            np.array([r[3] for r in rects], np.int64),
+        )
+        cell = np.diff(xs)[:, None] * np.diff(ys)[None, :]
+        assert u2 == 2 * int(cell[cnt >= 1].sum())
+
+
 def test_minkowski_any_vs_convex_edge_merge():
     """For CONVEX A the sweep-based sum must agree with the angular
     edge merge (kernels/polyclip.py) — two unrelated algorithms."""
