@@ -274,6 +274,43 @@ def test_square_offset_beveled_nonconvex_invariants():
         assert o2 <= 2 * (x1 - x0 + 2 * r) * (y1 - y0 + 2 * r)
 
 
+def _star_points(cx, cy, n, r1, r2):
+    pts = []
+    for k in range(2 * n):
+        a = np.pi * k / n
+        r = r1 if k % 2 == 0 else r2
+        pts.append((round(cx + r * np.cos(a)), round(cy + r * np.sin(a))))
+    return pts
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(-20, 20), st.integers(-20, 20),
+        st.integers(3, 6), st.integers(10, 18),
+        st.integers(3, 6), st.integers(10, 18),
+    )
+    def test_hypothesis_sweep_identities(tx, ty, na, ra, nb, rb):
+        """Property suite on star (non-convex, arbitrary-angle) pairs:
+        the four measures close under shoelace for ANY inputs."""
+        a = _star_points(0, 0, na, 40, ra)
+        b = _star_points(tx, ty, nb, 35, rb)
+        ax, ay = _xy(a)
+        bx, by = _xy(b)
+        i2, u2, d2, x2 = boolean_pair_measures(ax, ay, bx, by)
+        a2 = abs(_shoelace2(ax, ay))
+        b2 = abs(_shoelace2(bx, by))
+        assert i2 + d2 == a2
+        assert u2 + i2 == a2 + b2
+        assert u2 == i2 + x2
+        assert 0 <= i2 <= min(a2, b2)
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_union_sweep_vs_coverage_grid():
     """N-piece union sweep vs the coordinate-compressed coverage grid
     (operators/boolean.py rect-union path) on random axis-aligned rect
