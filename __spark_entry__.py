@@ -2954,6 +2954,85 @@ def minkowski_nonconvex_sum(spark: SparkSession, sf: str) -> DataFrame:
     return minkowski_any_convex(pairs)
 
 
+def fence_union_area(spark: SparkSession, sf: str) -> DataFrame:
+    """Merged-geofence union (operators/boolean.py
+    ``rings_union_stats`` + kernels/polysweep.py ``rings_union_area2``)
+    — clipper ctUnion over N ARBITRARY simple rings per group, the
+    query a tile-engine user merging fence polygons runs first: exact
+    union area of each group's mixed ring set (non-convex notched
+    rects + 45°-edged octagons) via the N-piece slab sweep inside ONE
+    applyInPandas aggregation (the groupBy is the only shuffle).
+
+    Scale shape: group COUNT scales with the fact table while group
+    SIZE stays geometry-bounded (~10 fences per group at every SF) —
+    per-group work never grows with data volume. Corpus on the ×4
+    grid, so the DuckDB oracle replays the whole multi-ring sweep in
+    BIGINT. ORACLED per group."""
+    from mvtspark.operators.boolean import rings_union_stats
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf, "orders").where(k % 31 == 9)
+    x0 = 4 * ((k * 17) % 50)
+    y0 = 4 * ((k * 29) % 50)
+    x1 = x0 + 4 * (16 + k % 8)
+    y1 = y0 + 4 * (8 + (k * 7) % 12)
+    c = 4 * (1 + (k * 3) % 3)
+    nx0 = x0 + 4 * (1 + (k * 3) % 5)
+    nx1 = nx0 + 4 * (2 + (k * 5) % 5)
+    ny = y1 - 4 * (2 + (k * 11) % 5)
+    s = 4 * (1 + (k * 5) % 2)
+    tx = 4 * ((k * 3) % 60)
+    ty = 4 * ((k * 13) % 60)
+    p = (k * 7) % 2
+    g = lambda col: col.cast("long")  # noqa: E731
+    oxs = [o_[0] for o_ in _OCT_BASE] + [_OCT_BASE[-1][0]]
+    oys = [o_[1] for o_ in _OCT_BASE] + [_OCT_BASE[-1][1]]
+    rxs = [x0, x1, x1, x1 - c, nx1, nx1, nx0, nx0, x0]
+    rys = [y0, y0, y1 - c, y1, y1, ny, ny, y1, y1]
+    rings = o.select(
+        # integer `div`, not double division (exact at any key scale)
+        F.expr("o_orderkey div 1240").cast("long").alias("group_id"),
+        F.array(*[
+            g(F.when(p == 0, rxs[i]).otherwise(F.lit(oxs[i]) * s + tx))
+            for i in range(9)
+        ]).alias("xs"),
+        F.array(*[
+            g(F.when(p == 0, rys[i]).otherwise(F.lit(oys[i]) * s + ty))
+            for i in range(9)
+        ]).alias("ys"),
+    )
+    return rings_union_stats(rings)
+
+
+def polyline_buffer(spark: SparkSession, sf: str) -> DataFrame:
+    """Open-path square buffer (operators/boolean.py
+    ``polyline_buffer_square`` + kernels/polysweep.py
+    ``open_buffer_square_measures``) — clipper etOpenSquare
+    (clipper.cs:4744-5120), the road-buffer shape: exact L1 length and
+    buffer area of staircase paths with a 45° middle segment. Pieces
+    are per-segment dilation hulls (endpoint caps absorbed); ×4 grid
+    keeps the DuckDB N-piece sweep replay in BIGINT. ORACLED both
+    columns."""
+    from mvtspark.operators.boolean import polyline_buffer_square
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf, "orders").where(k % 29 == 3)
+    x0 = 4 * ((k * 17) % 50)
+    y0 = 4 * ((k * 29) % 50)
+    a = 4 * (2 + (k * 3) % 6)
+    b = 4 * (2 + (k * 5) % 6)
+    cc = 4 * (2 + (k * 7) % 6)
+    r = 4 * (1 + k % 2)
+    g = lambda col: col.cast("long")  # noqa: E731
+    lines = o.select(
+        k.alias("line_id"),
+        F.array(g(x0), g(x0 + a), g(x0 + a + b), g(x0 + a + b)).alias("xs"),
+        F.array(g(y0), g(y0), g(y0 + b), g(y0 + b + cc)).alias("ys"),
+        g(r).alias("radius"),
+    )
+    return polyline_buffer_square(lines)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2969,6 +3048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_boolean_sweep": poly_boolean_sweep,
         "offset_sweep_square": offset_sweep_square,
         "minkowski_nonconvex_sum": minkowski_nonconvex_sum,
+        "fence_union_area": fence_union_area,
+        "polyline_buffer": polyline_buffer,
         "poly_union_area": poly_union_area,
         "minkowski_sum_area": minkowski_sum_area,
         "jpeg_roundtrip_psnr": jpeg_roundtrip_psnr,
@@ -3819,6 +3900,220 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(2*m.md, 0) AS BIGINT) AS diff_area2,
               CAST(COALESCE(2*m.mx, 0) AS BIGINT) AS xor_area2
             FROM pr p LEFT JOIN meas m ON m.k = p.k
+        """,
+        # Multi-ring union sweep per GROUP in BIGINT: each row is one
+        # ring (notched rect or padded octagon by parity), piece id =
+        # the row key, the sweep partitions by group.
+        "fence_union_area": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 31 = 9),
+            pr AS (SELECT k, k // 1240 AS g, (k*7) % 2 AS p,
+                4*((k*17) % 50) AS x0, 4*((k*29) % 50) AS y0,
+                4*((k*17) % 50) + 4*(16 + k % 8) AS x1,
+                4*((k*29) % 50) + 4*(8 + (k*7) % 12) AS y1,
+                4*(1 + (k*3) % 3) AS c,
+                4*((k*17) % 50) + 4*(1 + (k*3) % 5) AS nx0,
+                4*((k*17) % 50) + 4*(1 + (k*3) % 5)
+                  + 4*(2 + (k*5) % 5) AS nx1,
+                4*((k*29) % 50) + 4*(8 + (k*7) % 12)
+                  - 4*(2 + (k*11) % 5) AS ny,
+                4*(1 + (k*5) % 2) AS s,
+                4*((k*3) % 60) AS tx, 4*((k*13) % 60) AS ty
+              FROM ks),
+            av AS (SELECT k, g, i,
+                CASE WHEN p = 0 THEN
+                  CASE i WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1
+                         WHEN 3 THEN x1-c WHEN 4 THEN nx1 WHEN 5 THEN nx1
+                         WHEN 6 THEN nx0 WHEN 7 THEN nx0 ELSE x0 END
+                ELSE s * (CASE i WHEN 0 THEN 2 WHEN 1 THEN 6
+                         WHEN 2 THEN 8 WHEN 3 THEN 8 WHEN 4 THEN 6
+                         WHEN 5 THEN 2 ELSE 0 END) + tx END AS vx,
+                CASE WHEN p = 0 THEN
+                  CASE i WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y1-c
+                         WHEN 3 THEN y1 WHEN 4 THEN y1 WHEN 5 THEN ny
+                         WHEN 6 THEN ny WHEN 7 THEN y1 ELSE y1 END
+                ELSE s * (CASE i WHEN 0 THEN 0 WHEN 1 THEN 0
+                         WHEN 2 THEN 2 WHEN 3 THEN 6 WHEN 4 THEN 8
+                         WHEN 5 THEN 8 WHEN 6 THEN 6 ELSE 2 END) + ty
+                END AS vy
+              FROM pr, range(9) t(i)),
+            ed AS (SELECT a1.g, a1.k AS piece,
+                          a1.vx AS ex1, a1.vy AS ey1,
+                          a2.vx AS ex2, a2.vy AS ey2
+                   FROM av a1 JOIN av a2
+                     ON a2.k = a1.k AND a2.i = (a1.i + 1) % 9),
+            xys AS (SELECT a.g,
+                a.ey1 + (((b.ex1-a.ex1)*(b.ey2-b.ey1)
+                        - (b.ey1-a.ey1)*(b.ex2-b.ex1))
+                       * (a.ey2-a.ey1))
+                     // ((a.ex2-a.ex1)*(b.ey2-b.ey1)
+                       - (a.ey2-a.ey1)*(b.ex2-b.ex1)) AS y
+              FROM ed a JOIN ed b ON b.g = a.g AND a.piece < b.piece
+              WHERE ((a.ex2-a.ex1)*(b.ey1-a.ey1)
+                   - (a.ey2-a.ey1)*(b.ex1-a.ex1))
+                  * ((a.ex2-a.ex1)*(b.ey2-a.ey1)
+                   - (a.ey2-a.ey1)*(b.ex2-a.ex1)) < 0
+                AND ((b.ex2-b.ex1)*(a.ey1-b.ey1)
+                   - (b.ey2-b.ey1)*(a.ex1-b.ex1))
+                  * ((b.ex2-b.ex1)*(a.ey2-b.ey1)
+                   - (b.ey2-b.ey1)*(a.ex2-b.ex1)) < 0),
+            evy AS (SELECT DISTINCT g, y FROM (
+                      SELECT g, ey1 AS y FROM ed
+                      UNION ALL SELECT g, y FROM xys)),
+            sl AS (SELECT g, ylo, yhi, (ylo + yhi) // 2 AS ym FROM (
+                     SELECT g, y AS ylo,
+                            lead(y) OVER (PARTITION BY g ORDER BY y)
+                              AS yhi
+                     FROM evy) WHERE yhi IS NOT NULL),
+            xing AS (SELECT s.g, s.ylo, s.yhi, e.piece,
+                e.ex1 + CASE WHEN e.ey2 = e.ey1 THEN 0
+                  ELSE (s.ym - e.ey1) * ((e.ex2-e.ex1) // (e.ey2-e.ey1))
+                  END AS xc
+              FROM sl s JOIN ed e ON e.g = s.g
+              WHERE least(e.ey1, e.ey2) < s.ym
+                AND s.ym < greatest(e.ey1, e.ey2)),
+            dl AS (SELECT g, ylo, yhi, xc,
+                CASE WHEN row_number() OVER (
+                  PARTITION BY g, ylo, piece ORDER BY xc) % 2 = 1
+                  THEN 1 ELSE -1 END AS d
+              FROM xing),
+            ev AS (SELECT g, ylo, yhi, xc, SUM(d) AS dd
+                   FROM dl GROUP BY g, ylo, yhi, xc),
+            seg AS (SELECT g, ylo, yhi, xc,
+                lead(xc) OVER (PARTITION BY g, ylo ORDER BY xc) AS xn,
+                SUM(dd) OVER (PARTITION BY g, ylo ORDER BY xc
+                              ROWS UNBOUNDED PRECEDING) AS cov
+              FROM ev),
+            uni AS (SELECT g,
+                SUM(CASE WHEN cov >= 1 THEN (xn-xc)*(yhi-ylo)
+                    ELSE 0 END) AS mu
+              FROM seg WHERE xn IS NOT NULL GROUP BY g),
+            cnt AS (SELECT g, count(*) AS n FROM pr GROUP BY g)
+            SELECT c.g AS group_id,
+              CAST(c.n AS BIGINT) AS n_rings,
+              CAST(2*u.mu AS BIGINT) AS union_area2
+            FROM cnt c JOIN uni u ON u.g = c.g
+        """,
+        # Open-path buffer: pieces are per-SEGMENT dilation hulls
+        # (no base ring, no closing edge), same BIGINT sweep.
+        "polyline_buffer": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 29 = 3),
+            pr AS (SELECT k,
+                4*((k*17) % 50) AS x0, 4*((k*29) % 50) AS y0,
+                4*(2 + (k*3) % 6) AS a, 4*(2 + (k*5) % 6) AS b,
+                4*(2 + (k*7) % 6) AS cc, 4*(1 + k % 2) AS r
+              FROM ks),
+            av AS (SELECT k, i,
+                CASE i WHEN 0 THEN x0 WHEN 1 THEN x0+a
+                       ELSE x0+a+b END AS vx,
+                CASE i WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y0+b
+                       ELSE y0+b+cc END AS vy
+              FROM pr, range(4) t(i)),
+            bed AS (SELECT a1.k, a1.i,
+                a1.vx AS rx1, a1.vy AS ry1, a2.vx AS rx2, a2.vy AS ry2,
+                CASE WHEN (a2.vx < a1.vx)
+                       OR (a2.vx = a1.vx AND a2.vy < a1.vy)
+                     THEN a2.vx ELSE a1.vx END AS cx1,
+                CASE WHEN (a2.vx < a1.vx)
+                       OR (a2.vx = a1.vx AND a2.vy < a1.vy)
+                     THEN a2.vy ELSE a1.vy END AS cy1,
+                CASE WHEN (a2.vx < a1.vx)
+                       OR (a2.vx = a1.vx AND a2.vy < a1.vy)
+                     THEN a1.vx ELSE a2.vx END AS cx2,
+                CASE WHEN (a2.vx < a1.vx)
+                       OR (a2.vx = a1.vx AND a2.vy < a1.vy)
+                     THEN a1.vy ELSE a2.vy END AS cy2
+              FROM av a1 JOIN av a2
+                ON a2.k = a1.k AND a2.i = a1.i + 1),
+            bcl AS (SELECT b.*, p.r,
+                CASE WHEN cy2 = cy1 THEN 0 WHEN cx2 = cx1 THEN 1
+                     WHEN cy2 > cy1 THEN 2 ELSE 3 END AS cls
+              FROM bed b JOIN pr p USING (k)),
+            pv AS (SELECT k, i + 1 AS piece, j,
+                CASE cls
+                  WHEN 0 THEN CASE j WHEN 0 THEN cx1-r WHEN 1 THEN cx2+r
+                    WHEN 2 THEN cx2+r ELSE cx1-r END
+                  WHEN 1 THEN CASE j WHEN 0 THEN cx1-r WHEN 1 THEN cx1+r
+                    WHEN 2 THEN cx1+r ELSE cx1-r END
+                  WHEN 2 THEN CASE j WHEN 0 THEN cx1-r WHEN 1 THEN cx1+r
+                    WHEN 2 THEN cx2+r WHEN 3 THEN cx2+r WHEN 4 THEN cx2-r
+                    ELSE cx1-r END
+                  ELSE CASE j WHEN 0 THEN cx1-r WHEN 1 THEN cx2-r
+                    WHEN 2 THEN cx2+r WHEN 3 THEN cx2+r WHEN 4 THEN cx1+r
+                    ELSE cx1-r END
+                END AS vx,
+                CASE cls
+                  WHEN 0 THEN CASE j WHEN 0 THEN cy1-r WHEN 1 THEN cy1-r
+                    WHEN 2 THEN cy1+r ELSE cy1+r END
+                  WHEN 1 THEN CASE j WHEN 0 THEN cy1-r WHEN 1 THEN cy1-r
+                    WHEN 2 THEN cy2+r ELSE cy2+r END
+                  WHEN 2 THEN CASE j WHEN 0 THEN cy1-r WHEN 1 THEN cy1-r
+                    WHEN 2 THEN cy2-r WHEN 3 THEN cy2+r WHEN 4 THEN cy2+r
+                    ELSE cy1+r END
+                  ELSE CASE j WHEN 0 THEN cy1-r WHEN 1 THEN cy2-r
+                    WHEN 2 THEN cy2-r WHEN 3 THEN cy2+r WHEN 4 THEN cy1+r
+                    ELSE cy1+r END
+                END AS vy
+              FROM bcl, range(6) u(j)),
+            ed AS (SELECT v1.k, v1.piece, v1.vx AS ex1, v1.vy AS ey1,
+                          v2.vx AS ex2, v2.vy AS ey2
+                   FROM pv v1 JOIN pv v2
+                     ON v2.k = v1.k AND v2.piece = v1.piece
+                    AND v2.j = (v1.j + 1) % 6),
+            xys AS (SELECT a.k,
+                a.ey1 + (((b.ex1-a.ex1)*(b.ey2-b.ey1)
+                        - (b.ey1-a.ey1)*(b.ex2-b.ex1))
+                       * (a.ey2-a.ey1))
+                     // ((a.ex2-a.ex1)*(b.ey2-b.ey1)
+                       - (a.ey2-a.ey1)*(b.ex2-b.ex1)) AS y
+              FROM ed a JOIN ed b ON b.k = a.k AND a.piece < b.piece
+              WHERE ((a.ex2-a.ex1)*(b.ey1-a.ey1)
+                   - (a.ey2-a.ey1)*(b.ex1-a.ex1))
+                  * ((a.ex2-a.ex1)*(b.ey2-a.ey1)
+                   - (a.ey2-a.ey1)*(b.ex2-a.ex1)) < 0
+                AND ((b.ex2-b.ex1)*(a.ey1-b.ey1)
+                   - (b.ey2-b.ey1)*(a.ex1-b.ex1))
+                  * ((b.ex2-b.ex1)*(a.ey2-b.ey1)
+                   - (b.ey2-b.ey1)*(a.ex2-b.ex1)) < 0),
+            evy AS (SELECT DISTINCT k, y FROM (
+                      SELECT k, ey1 AS y FROM ed
+                      UNION ALL SELECT k, y FROM xys)),
+            sl AS (SELECT k, ylo, yhi, (ylo + yhi) // 2 AS ym FROM (
+                     SELECT k, y AS ylo,
+                            lead(y) OVER (PARTITION BY k ORDER BY y)
+                              AS yhi
+                     FROM evy) WHERE yhi IS NOT NULL),
+            xing AS (SELECT s.k, s.ylo, s.yhi, e.piece,
+                e.ex1 + CASE WHEN e.ey2 = e.ey1 THEN 0
+                  ELSE (s.ym - e.ey1) * ((e.ex2-e.ex1) // (e.ey2-e.ey1))
+                  END AS xc
+              FROM sl s JOIN ed e ON e.k = s.k
+              WHERE least(e.ey1, e.ey2) < s.ym
+                AND s.ym < greatest(e.ey1, e.ey2)),
+            dl AS (SELECT k, ylo, yhi, xc,
+                CASE WHEN row_number() OVER (
+                  PARTITION BY k, ylo, piece ORDER BY xc) % 2 = 1
+                  THEN 1 ELSE -1 END AS d
+              FROM xing),
+            ev AS (SELECT k, ylo, yhi, xc, SUM(d) AS dd
+                   FROM dl GROUP BY k, ylo, yhi, xc),
+            seg AS (SELECT k, ylo, yhi, xc,
+                lead(xc) OVER (PARTITION BY k, ylo ORDER BY xc) AS xn,
+                SUM(dd) OVER (PARTITION BY k, ylo ORDER BY xc
+                              ROWS UNBOUNDED PRECEDING) AS cov
+              FROM ev),
+            uni AS (SELECT k,
+                SUM(CASE WHEN cov >= 1 THEN (xn-xc)*(yhi-ylo)
+                    ELSE 0 END) AS mu
+              FROM seg WHERE xn IS NOT NULL GROUP BY k),
+            lens AS (SELECT k, SUM(ABS(rx2-rx1) + ABS(ry2-ry1)) AS l1
+                     FROM bed GROUP BY k)
+            SELECT p.k AS line_id,
+              CAST(l.l1 AS BIGINT) AS len_l1,
+              CAST(2*u.mu AS BIGINT) AS buffer_area2
+            FROM pr p JOIN lens l ON l.k = p.k
+            JOIN uni u ON u.k = p.k
         """,
         # N-piece union sweep replay in BIGINT, pieces built
         # CLOSED-FORM: B + [0,t] for octilinear t fuses to exactly

@@ -211,6 +211,41 @@ def square_offset_measures(xs, ys, r):
     return base2, _union_area2(pieces)
 
 
+def rings_union_area2(rings):
+    """TWICE the exact union area of a LIST of simple rings (clipper
+    ctUnion over N inputs — the merged-geofence shape): straight
+    N-piece slab sweep. Rings are (xs, ys) pairs; any orientation,
+    any angles, integer coordinates."""
+    return _union_area2([
+        [(int(xs[i]), int(ys[i])) for i in range(len(xs))]
+        for (xs, ys) in rings
+    ])
+
+
+def open_buffer_square_measures(xs, ys, r):
+    """(len_l1, buffer_area2) of the square-join buffer of an OPEN
+    polyline (clipper etOpenSquare, clipper.cs:4744-5120): the buffer
+    region is ⋃ per-segment dilation hulls (endpoint square caps are
+    absorbed by the segment hulls), measured exactly by the N-piece
+    union sweep; len_l1 is the exact L1 length of the path (both
+    engines recompute it independently). No closing edge — open
+    paths, the road-buffer shape."""
+    n = len(xs)
+    pts = [(int(xs[i]), int(ys[i])) for i in range(n)]
+    pieces = []
+    for i in range(n - 1):
+        p1, p2 = pts[i], pts[i + 1]
+        pieces.append(_hull([
+            (px + sx * r, py + sy * r)
+            for (px, py) in (p1, p2) for sx in (-1, 1) for sy in (-1, 1)
+        ]))
+    len_l1 = sum(
+        abs(pts[i + 1][0] - pts[i][0]) + abs(pts[i + 1][1] - pts[i][1])
+        for i in range(n - 1)
+    )
+    return len_l1, _union_area2(pieces)
+
+
 def minkowski_any_convex_measures(ax, ay, bx, by):
     """(a_area2, sum_area2) for the Minkowski sum A ⊕ B of an
     ARBITRARY simple ring A with a CONVEX ring B — past polyclip.py's

@@ -154,6 +154,65 @@ def general_pair_boolean(pairs: DataFrame) -> DataFrame:
     return pairs.mapInPandas(_run, GENERAL_PAIR_SCHEMA)
 
 
+RINGS_UNION_SCHEMA = "group_id long, n_rings long, union_area2 long"
+
+
+def rings_union_stats(rings: DataFrame,
+                      group_col: str = "group_id") -> DataFrame:
+    """Exact union area of each GROUP's simple rings (kernels/
+    polysweep.py ``rings_union_area2`` — clipper ctUnion over N
+    arbitrary inputs, the merged-geofence job): rows carry one ring
+    each (group_col, xs, ys); groups aggregate via applyInPandas.
+    The groupBy is the ONLY shuffle; per-group work is bounded by the
+    group's geometry (tens of fences), never the fact tables."""
+
+    def _stats(key, pdf):
+        from mvtspark.kernels.polysweep import rings_union_area2
+
+        u2 = rings_union_area2(list(zip(pdf["xs"], pdf["ys"])))
+        return pd.DataFrame(
+            {
+                "group_id": [int(key[0])],
+                "n_rings": [len(pdf)],
+                "union_area2": [int(u2) if u2.denominator == 1
+                                else round(float(u2))],
+            }
+        )
+
+    return rings.groupBy(group_col).applyInPandas(
+        _stats, RINGS_UNION_SCHEMA
+    )
+
+
+BUFFER_OPEN_SCHEMA = "line_id long, len_l1 long, buffer_area2 long"
+
+
+def polyline_buffer_square(lines: DataFrame) -> DataFrame:
+    """Square-join buffer of OPEN polylines (kernels/polysweep.py
+    ``open_buffer_square_measures`` — clipper etOpenSquare): exact L1
+    path length and buffer-region area per row (line_id, xs, ys,
+    radius). Pure map — no shuffle; lines distribute."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mvtspark.kernels.polysweep import open_buffer_square_measures
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                l1, b2 = open_buffer_square_measures(
+                    r.xs, r.ys, int(r.radius)
+                )
+                rows.append((
+                    int(r.line_id), int(l1),
+                    int(b2) if b2.denominator == 1 else round(float(b2)),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["line_id", "len_l1", "buffer_area2"]
+            )
+
+    return lines.mapInPandas(_run, BUFFER_OPEN_SCHEMA)
+
+
 MINK_ANY_SCHEMA = "pair_id long, a_area2 long, sum_area2 long"
 
 

@@ -343,6 +343,43 @@ def test_union_sweep_vs_coverage_grid():
         assert u2 == 2 * int(cell[cnt >= 1].sum())
 
 
+def test_rings_union_matches_pairwise_inclusion_exclusion():
+    """For TWO rings the N-ring union must equal the pair sweep's
+    union measure; known values for overlapping/disjoint/nested."""
+    from mvtspark.kernels.polysweep import (
+        boolean_pair_measures, rings_union_area2)
+
+    cases = [
+        (([0, 2, 2, 0], [0, 0, 2, 2]), ([1, 3, 3, 1], [0, 0, 2, 2])),
+        (([0, 1, 1, 0], [0, 0, 1, 1]), ([5, 6, 6, 5], [0, 0, 1, 1])),
+        (([0, 10, 10, 0], [0, 0, 10, 10]), ([2, 4, 4, 2], [2, 2, 4, 4])),
+    ]
+    for a, b in cases:
+        u_pair = boolean_pair_measures(a[0], a[1], b[0], b[1])[1]
+        assert rings_union_area2([a, b]) == u_pair
+    # three rings with a duplicate: union unchanged by the duplicate
+    a, b = cases[0]
+    assert rings_union_area2([a, b, a]) == boolean_pair_measures(
+        a[0], a[1], b[0], b[1])[1]
+
+
+def test_open_buffer_square_values():
+    """Straight segment -> rectangle; right-angle bend -> union of two
+    rectangles (hand-computed); 45-degree segment -> hexagon with the
+    mixed-area closed form len*2r + 4r^2 per isolated segment."""
+    from mvtspark.kernels.polysweep import open_buffer_square_measures
+
+    l1, b2 = open_buffer_square_measures([0, 10], [0, 0], 2)
+    assert (l1, b2) == (10, 2 * 14 * 4)
+    l1, b2 = open_buffer_square_measures([0, 8, 8], [0, 0, 6], 2)
+    assert (l1, b2) == (14, 2 * (48 + 40 - 16))
+    # isolated 45-degree segment (0,0)->(d,d): hull area =
+    # (2r)^2 + L1*... exact: hexagon = square(2r)^2 + d*(2r)*2
+    l1, b2 = open_buffer_square_measures([0, 6], [0, 6], 2)
+    assert l1 == 12
+    assert b2 == 2 * (16 + 6 * 4 * 2)
+
+
 def test_minkowski_any_vs_convex_edge_merge():
     """For CONVEX A the sweep-based sum must agree with the angular
     edge merge (kernels/polyclip.py) — two unrelated algorithms."""
