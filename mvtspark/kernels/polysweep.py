@@ -246,6 +246,64 @@ def open_buffer_square_measures(xs, ys, r):
     return len_l1, _union_area2(pieces)
 
 
+def union_trapezoids(ax, ay, bx, by):
+    """RESULT GEOMETRY for the pair union (not just measures): the
+    standard trapezoidal decomposition. Each slab's maximal covered
+    (in A or in B) intervals become trapezoids; corners are the exact
+    x's of the bounding edges at the slab's y-extremes. Returns rows
+    (ylo, yhi, xl_lo, xl_hi, xr_lo, xr_hi) — left edge runs
+    (xl_lo, ylo)→(xl_hi, yhi), right edge (xr_lo, ylo)→(xr_hi, yhi);
+    their union is EXACTLY A ∪ B (disjoint interiors).
+
+    Boundary-edge attribution is well-defined: two edges can only
+    share a midline x if they are collinear across the slab (a proper
+    crossing at the midline would itself be an event y, and midlines
+    are strictly between events), so ties carry identical corner x's.
+    """
+    ea = _edges(ax, ay)
+    eb = _edges(bx, by)
+    events = sorted(
+        {e[1] for e in ea} | {e[1] for e in eb} | set(_crossing_ys(ea, eb))
+    )
+    out = []
+    for k in range(len(events) - 1):
+        ylo, yhi = events[k], events[k + 1]
+        ym = Fraction(ylo + yhi, 2)
+        # per-edge crossing records: (x_mid, x_at_ylo, x_at_yhi, delta)
+        recs = {}
+        for es in (ea, eb):
+            xs = []
+            for (x1, y1, x2, y2) in es:
+                lo, hi = (y1, y2) if y1 <= y2 else (y2, y1)
+                if lo < ym < hi:
+                    slope = Fraction(x2 - x1, y2 - y1)
+                    xs.append((
+                        x1 + (ym - y1) * slope,
+                        x1 + (ylo - y1) * slope,
+                        x1 + (yhi - y1) * slope,
+                    ))
+            xs.sort(key=lambda t: t[0])
+            for t, (xm, xlo, xhi) in enumerate(xs):
+                d = 1 if t % 2 == 0 else -1
+                if xm in recs:
+                    recs[xm] = (recs[xm][0], recs[xm][1],
+                                recs[xm][2] + d)
+                else:
+                    recs[xm] = (xlo, xhi, d)
+        cov = 0
+        left = None
+        for xm in sorted(recs):
+            xlo, xhi, d = recs[xm]
+            prev = cov
+            cov += d
+            if prev == 0 and cov >= 1:
+                left = (xlo, xhi)
+            elif prev >= 1 and cov == 0:
+                out.append((ylo, yhi, left[0], left[1], xlo, xhi))
+                left = None
+    return out
+
+
 def minkowski_any_convex_measures(ax, ay, bx, by):
     """(a_area2, sum_area2) for the Minkowski sum A ⊕ B of an
     ARBITRARY simple ring A with a CONVEX ring B — past polyclip.py's

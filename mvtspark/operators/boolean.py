@@ -213,6 +213,40 @@ def polyline_buffer_square(lines: DataFrame) -> DataFrame:
     return lines.mapInPandas(_run, BUFFER_OPEN_SCHEMA)
 
 
+TRAPEZOID_SCHEMA = (
+    "pair_id long, ylo long, yhi long, xl_lo long, xl_hi long, "
+    "xr_lo long, xr_hi long"
+)
+
+
+def union_trapezoid_rows(pairs: DataFrame) -> DataFrame:
+    """RESULT GEOMETRY of the pair union (kernels/polysweep.py
+    ``union_trapezoids``): each input pair explodes into its exact
+    trapezoidal decomposition — the materialized boolean result a
+    downstream rasterizer or clipper consumes, not just measures.
+    Rows: (pair_id, ylo, yhi, xl_lo, xl_hi, xr_lo, xr_hi); corners are
+    exact BIGINTs on octilinear corpora. Pure map + explode — no
+    shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mvtspark.kernels.polysweep import union_trapezoids
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for (ylo, yhi, xl0, xl1, xr0, xr1) in union_trapezoids(
+                    r.ax, r.ay, r.bx, r.by
+                ):
+                    rows.append((int(r.pair_id), int(ylo), int(yhi),
+                                 int(xl0), int(xl1), int(xr0), int(xr1)))
+            yield pd.DataFrame(
+                rows, columns=["pair_id", "ylo", "yhi", "xl_lo",
+                               "xl_hi", "xr_lo", "xr_hi"],
+            )
+
+    return pairs.mapInPandas(_run, TRAPEZOID_SCHEMA)
+
+
 MINK_ANY_SCHEMA = "pair_id long, a_area2 long, sum_area2 long"
 
 

@@ -380,6 +380,40 @@ def test_open_buffer_square_values():
     assert b2 == 2 * (16 + 6 * 4 * 2)
 
 
+def test_union_trapezoids_tile_exactly():
+    """The trapezoid decomposition must tile the union exactly: areas
+    sum to the union measure, slabs don't overlap, and within a slab
+    the trapezoids are disjoint and x-ordered."""
+    from fractions import Fraction as Fr
+
+    from mvtspark.kernels.polysweep import union_trapezoids
+
+    cases = [
+        (([0, 2, 2, 0], [0, 0, 2, 2]), ([1, 3, 3, 1], [0, 0, 2, 2])),
+        (([0, 4, 4, 0], [0, 0, 4, 4]), ([2, 6, 2, -2], [-2, 2, 6, 2])),
+        (([0, 12, 12, 8, 8, 4, 4, 0], [0, 0, 10, 10, 6, 6, 10, 10]),
+         (_xy(OCT))),
+        (([0, 1, 1, 0], [0, 0, 1, 1]), ([5, 6, 6, 5], [0, 0, 1, 1])),
+    ]
+    for a, b in cases:
+        tr = union_trapezoids(a[0], a[1], b[0], b[1])
+        u2 = boolean_pair_measures(a[0], a[1], b[0], b[1])[1]
+        tot = Fr(0)
+        for (ylo, yhi, xl0, xl1, xr0, xr1) in tr:
+            assert ylo < yhi
+            assert xl0 <= xr0 and xl1 <= xr1
+            tot += (yhi - ylo) * ((xr0 - xl0) + (xr1 - xl1))
+        assert tot == u2
+        by_slab = {}
+        for t in tr:
+            by_slab.setdefault((t[0], t[1]), []).append(t)
+        for slab in by_slab.values():
+            slab.sort(key=lambda t: t[2])
+            for p, q in zip(slab, slab[1:]):
+                # disjoint interiors at both extremes
+                assert p[4] <= q[2] and p[5] <= q[3]
+
+
 def test_minkowski_any_vs_convex_edge_merge():
     """For CONVEX A the sweep-based sum must agree with the angular
     edge merge (kernels/polyclip.py) — two unrelated algorithms."""
