@@ -3073,13 +3073,15 @@ def poly_union_trapezoids(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is intentional: driver correctness sampling is
-    # time-budgeted and walks dict order. Round 5 fronts (a) the three
-    # queries whose code changed this round (snap cover slack, adaptive
-    # integer-div unpack, raster overrun guard — new r5 ops are
-    # prepended here as they land), then (b) the 52 queries last
-    # driver-sampled in rounds 1-3 (none in CORRECTNESS_r04.json) so
-    # their hard signal is renewed on HEAD, then (c) the 47 queries
-    # r4 already confirmed.
+    # time-budgeted and walks dict order. Round 5 fronts (a) the six
+    # NEW slab-sweep queries (general booleans, arbitrary offset,
+    # non-convex Minkowski, grouped fence union, open-path buffer,
+    # trapezoid result geometry) plus the queries whose code changed
+    # this round (snap cover slack, adaptive integer-div unpack,
+    # raster overrun guard, JFIF/4:2:0, snap top-k), then (b) the 52
+    # queries last driver-sampled in rounds 1-3 (none in
+    # CORRECTNESS_r04.json) so their hard signal is renewed on HEAD,
+    # then (c) the queries r4 already confirmed.
     return {
         "poly_boolean_sweep": poly_boolean_sweep,
         "offset_sweep_square": offset_sweep_square,
