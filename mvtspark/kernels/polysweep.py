@@ -185,6 +185,30 @@ def _union_area2(pieces):
     return total2
 
 
+def _square_dilation_hull(p1, p2, r):
+    """The segment's Minkowski sum with [-r, r]^2: the hull of the
+    endpoint square corners (absorbs the vertex squares). Dilation
+    only — erosion (r < 0) is a different operation the corner
+    expansion cannot express, so reject it loudly."""
+    if r < 0:
+        raise ValueError("square dilation requires radius >= 0 "
+                         "(erosion is not expressible as a corner hull)")
+    return _hull([
+        (px + sx * r, py + sy * r)
+        for (px, py) in (p1, p2) for sx in (-1, 1) for sy in (-1, 1)
+    ])
+
+
+def _ring_area2_exact(pts):
+    """TWICE the absolute shoelace area of a ring, exact Fractions."""
+    n = len(pts)
+    return abs(sum(
+        Fraction(pts[i][0]) * pts[(i + 1) % n][1]
+        - Fraction(pts[(i + 1) % n][0]) * pts[i][1]
+        for i in range(n)
+    ))
+
+
 def square_offset_measures(xs, ys, r):
     """(base_area2, offset_area2) of the square-join offset (clipper
     jtSquare + etClosedPolygon, clipper.cs:4744-5120) of an ARBITRARY
@@ -192,23 +216,14 @@ def square_offset_measures(xs, ys, r):
     region is base ∪ (every edge ⊕ [-r, r]^2), each edge dilation
     being the convex hull of its endpoints' square corners (which
     absorbs the vertex squares), measured exactly by the N-piece
-    union sweep. Integer coordinates and radius in; exact Fractions
-    out (integral on octilinear-even corpora)."""
+    union sweep. Integer coordinates and radius >= 0 in; exact
+    Fractions out (integral on octilinear-even corpora)."""
     n = len(xs)
     base = [(int(xs[i]), int(ys[i])) for i in range(n)]
     pieces = [base]
     for i in range(n):
-        p1, p2 = base[i], base[(i + 1) % n]
-        pieces.append(_hull([
-            (px + sx * r, py + sy * r)
-            for (px, py) in (p1, p2) for sx in (-1, 1) for sy in (-1, 1)
-        ]))
-    base2 = abs(sum(
-        Fraction(base[i][0]) * base[(i + 1) % n][1]
-        - Fraction(base[(i + 1) % n][0]) * base[i][1]
-        for i in range(n)
-    ))
-    return base2, _union_area2(pieces)
+        pieces.append(_square_dilation_hull(base[i], base[(i + 1) % n], r))
+    return _ring_area2_exact(base), _union_area2(pieces)
 
 
 def rings_union_area2(rings):
@@ -232,13 +247,9 @@ def open_buffer_square_measures(xs, ys, r):
     paths, the road-buffer shape."""
     n = len(xs)
     pts = [(int(xs[i]), int(ys[i])) for i in range(n)]
-    pieces = []
-    for i in range(n - 1):
-        p1, p2 = pts[i], pts[i + 1]
-        pieces.append(_hull([
-            (px + sx * r, py + sy * r)
-            for (px, py) in (p1, p2) for sx in (-1, 1) for sy in (-1, 1)
-        ]))
+    pieces = [
+        _square_dilation_hull(pts[i], pts[i + 1], r) for i in range(n - 1)
+    ]
     len_l1 = sum(
         abs(pts[i + 1][0] - pts[i][0]) + abs(pts[i + 1][1] - pts[i][1])
         for i in range(n - 1)
@@ -324,12 +335,7 @@ def minkowski_any_convex_measures(ax, ay, bx, by):
         pieces.append(_hull([
             (qx + px, qy + py) for (qx, qy) in q for (px, py) in (p1, p2)
         ]))
-    a2 = abs(sum(
-        Fraction(base[i][0]) * base[(i + 1) % n][1]
-        - Fraction(base[(i + 1) % n][0]) * base[i][1]
-        for i in range(n)
-    ))
-    return a2, _union_area2(pieces)
+    return _ring_area2_exact(base), _union_area2(pieces)
 
 
 def boolean_pair_measures(ax, ay, bx, by):

@@ -36,9 +36,17 @@ oracle replays it cell-for-cell with no float discipline needed.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from fractions import Fraction
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+
+def _as_long(fr) -> int:
+    """Exact BIGINT from a rational measure: integral values pass
+    through; otherwise round exactly on the Fraction (never through
+    float — large rationals would overflow or lose precision)."""
+    return int(fr) if fr.denominator == 1 else round(fr)
 
 
 CONVEX_PAIR_SCHEMA = (
@@ -129,12 +137,7 @@ def general_pair_boolean(pairs: DataFrame) -> DataFrame:
     otherwise rounded from the exact rational."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from fractions import Fraction
-
         from mvtspark.kernels.polysweep import boolean_pair_measures
-
-        def _as_long(fr: Fraction) -> int:
-            return int(fr) if fr.denominator == 1 else round(float(fr))
 
         for pdf in batches:
             rows = []
@@ -174,8 +177,7 @@ def rings_union_stats(rings: DataFrame,
             {
                 "group_id": [int(key[0])],
                 "n_rings": [len(pdf)],
-                "union_area2": [int(u2) if u2.denominator == 1
-                                else round(float(u2))],
+                "union_area2": [_as_long(u2)],
             }
         )
 
@@ -202,10 +204,7 @@ def polyline_buffer_square(lines: DataFrame) -> DataFrame:
                 l1, b2 = open_buffer_square_measures(
                     r.xs, r.ys, int(r.radius)
                 )
-                rows.append((
-                    int(r.line_id), int(l1),
-                    int(b2) if b2.denominator == 1 else round(float(b2)),
-                ))
+                rows.append((int(r.line_id), int(l1), _as_long(b2)))
             yield pd.DataFrame(
                 rows, columns=["line_id", "len_l1", "buffer_area2"]
             )
@@ -234,11 +233,14 @@ def union_trapezoid_rows(pairs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                for (ylo, yhi, xl0, xl1, xr0, xr1) in union_trapezoids(
-                    r.ax, r.ay, r.bx, r.by
-                ):
-                    rows.append((int(r.pair_id), int(ylo), int(yhi),
-                                 int(xl0), int(xl1), int(xr0), int(xr1)))
+                for tz in union_trapezoids(r.ax, r.ay, r.bx, r.by):
+                    if any(v.denominator != 1 for v in map(Fraction, tz)):
+                        raise ValueError(
+                            "non-integral trapezoid corner for pair "
+                            f"{r.pair_id}: BIGINT output needs an "
+                            "octilinear (integer-event) corpus"
+                        )
+                    rows.append((int(r.pair_id), *map(int, tz)))
             yield pd.DataFrame(
                 rows, columns=["pair_id", "ylo", "yhi", "xl_lo",
                                "xl_hi", "xr_lo", "xr_hi"],
@@ -261,9 +263,6 @@ def minkowski_any_convex(pairs: DataFrame) -> DataFrame:
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mvtspark.kernels.polysweep import minkowski_any_convex_measures
-
-        def _as_long(fr) -> int:
-            return int(fr) if fr.denominator == 1 else round(float(fr))
 
         for pdf in batches:
             rows = []
@@ -294,9 +293,6 @@ def square_offset_any(rings: DataFrame) -> DataFrame:
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mvtspark.kernels.polysweep import square_offset_measures
-
-        def _as_long(fr) -> int:
-            return int(fr) if fr.denominator == 1 else round(float(fr))
 
         for pdf in batches:
             rows = []
@@ -385,6 +381,11 @@ def offset_rectilinear(rings: DataFrame, radius: int) -> DataFrame:
     over vertical edges — exact: centers are half-integers, edges
     integer) or inside any edge rectangle. Handles non-convex rings
     (L/U/T fences) — the shapes D17's strictly-convex offset rejects."""
+    if radius < 0:
+        raise ValueError("offset_rectilinear requires radius >= 0: a "
+                         "negative radius inverts the dilation rects "
+                         "and corrupts the coverage grid (erosion is "
+                         "a different operation)")
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

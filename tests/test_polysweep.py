@@ -414,6 +414,22 @@ def test_union_trapezoids_tile_exactly():
                 assert p[4] <= q[2] and p[5] <= q[3]
 
 
+def test_negative_radius_rejected():
+    """Erosion is not expressible as a corner-hull dilation: a
+    negative radius must fail loudly, never silently dilate (the
+    corner expansion is invariant under r -> -r)."""
+    from mvtspark.kernels.polysweep import (
+        open_buffer_square_measures, square_offset_measures)
+    from mvtspark.operators.boolean import offset_rectilinear
+
+    with pytest.raises(ValueError):
+        square_offset_measures([0, 10, 10, 0], [0, 0, 10, 10], -2)
+    with pytest.raises(ValueError):
+        open_buffer_square_measures([0, 10], [0, 0], -1)
+    with pytest.raises(ValueError):
+        offset_rectilinear(None, -2)
+
+
 def test_minkowski_any_vs_convex_edge_merge():
     """For CONVEX A the sweep-based sum must agree with the angular
     edge merge (kernels/polyclip.py) — two unrelated algorithms."""
