@@ -3069,6 +3069,40 @@ def poly_union_trapezoids(spark: SparkSession, sf: str) -> DataFrame:
     return union_trapezoid_rows(pairs)
 
 
+def poly_inter_trapezoids(spark: SparkSession, sf: str) -> DataFrame:
+    """RESULT GEOMETRY for the general pair INTERSECTION (operators/
+    boolean.py ``union_trapezoid_rows`` with op="inter") — the actual
+    clip output for non-convex pairs, the op a tile engine runs most:
+    exact trapezoidal decomposition of A ∩ B on the notched-rect ×
+    octagon corpus. ORACLED row-for-row: DuckDB tracks per-polygon
+    coverage and pairs transitions of the conjunction."""
+    from mvtspark.operators.boolean import union_trapezoid_rows
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf, "orders").where(k % 41 == 3)
+    x0 = 2 * ((k * 17) % 50)
+    y0 = 2 * ((k * 29) % 50)
+    x1 = x0 + 2 * (12 + k % 10)
+    y1 = y0 + 2 * (8 + (k * 7) % 12)
+    nx0 = x0 + 2 * (1 + (k * 3) % 5)
+    nx1 = nx0 + 2 * (2 + (k * 5) % 5)
+    ny = y1 - 2 * (2 + (k * 11) % 5)
+    s = 1 + k % 4
+    tx = 2 * ((k * 3) % 60)
+    ty = 2 * ((k * 13) % 60)
+    g = lambda c: c.cast("long")  # noqa: E731
+    pairs = o.select(
+        k.alias("pair_id"),
+        F.array(g(x0), g(x1), g(x1), g(nx1),
+                g(nx1), g(nx0), g(nx0), g(x0)).alias("ax"),
+        F.array(g(y0), g(y0), g(y1), g(y1),
+                g(ny), g(ny), g(y1), g(y1)).alias("ay"),
+        F.array(*[g(F.lit(ox) * s + tx) for ox, _ in _OCT_BASE]).alias("bx"),
+        F.array(*[g(F.lit(oy) * s + ty) for _, oy in _OCT_BASE]).alias("by"),
+    )
+    return union_trapezoid_rows(pairs, op="inter")
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3089,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fence_union_area": fence_union_area,
         "polyline_buffer": polyline_buffer,
         "poly_union_trapezoids": poly_union_trapezoids,
+        "poly_inter_trapezoids": poly_inter_trapezoids,
         "poly_union_area": poly_union_area,
         "minkowski_sum_area": minkowski_sum_area,
         "jpeg_roundtrip_psnr": jpeg_roundtrip_psnr,
@@ -3939,6 +3974,124 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(2*m.md, 0) AS BIGINT) AS diff_area2,
               CAST(COALESCE(2*m.mx, 0) AS BIGINT) AS xor_area2
             FROM pr p LEFT JOIN meas m ON m.k = p.k
+        """,
+        # RESULT-GEOMETRY replay for the INTERSECTION: per-polygon
+        # coverage tracked separately; trapezoids pair transitions of
+        # the conjunction (ca=1 AND cb=1).
+        "poly_inter_trapezoids": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 41 = 3),
+            pr AS (SELECT k,
+                2*((k*17) % 50) AS x0, 2*((k*29) % 50) AS y0,
+                2*((k*17) % 50) + 2*(12 + k % 10) AS x1,
+                2*((k*29) % 50) + 2*(8 + (k*7) % 12) AS y1,
+                2*((k*17) % 50) + 2*(1 + (k*3) % 5) AS nx0,
+                2*((k*17) % 50) + 2*(1 + (k*3) % 5)
+                  + 2*(2 + (k*5) % 5) AS nx1,
+                2*((k*29) % 50) + 2*(8 + (k*7) % 12)
+                  - 2*(2 + (k*11) % 5) AS ny,
+                1 + k % 4 AS s,
+                2*((k*3) % 60) AS tx, 2*((k*13) % 60) AS ty
+              FROM ks),
+            av AS (SELECT k, i,
+                CASE i WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1
+                       WHEN 3 THEN nx1 WHEN 4 THEN nx1 WHEN 5 THEN nx0
+                       WHEN 6 THEN nx0 ELSE x0 END AS vx,
+                CASE i WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y1
+                       WHEN 3 THEN y1 WHEN 4 THEN ny WHEN 5 THEN ny
+                       ELSE y1 END AS vy
+              FROM pr, range(8) t(i)),
+            ob(i, ox, oy) AS (SELECT * FROM (VALUES
+              (0,2,0),(1,6,0),(2,8,2),(3,8,6),
+              (4,6,8),(5,2,8),(6,0,6),(7,0,2))),
+            bv AS (SELECT k, i, ox*s + tx AS vx, oy*s + ty AS vy
+                   FROM pr, ob),
+            ed AS (
+              SELECT a1.k, 0 AS poly, a1.vx AS ex1, a1.vy AS ey1,
+                     a2.vx AS ex2, a2.vy AS ey2
+                FROM av a1 JOIN av a2
+                  ON a2.k = a1.k AND a2.i = (a1.i + 1) % 8
+              UNION ALL
+              SELECT b1.k, 1, b1.vx, b1.vy, b2.vx, b2.vy
+                FROM bv b1 JOIN bv b2
+                  ON b2.k = b1.k AND b2.i = (b1.i + 1) % 8),
+            xys AS (SELECT a.k,
+                a.ey1 + (((b.ex1-a.ex1)*(b.ey2-b.ey1)
+                        - (b.ey1-a.ey1)*(b.ex2-b.ex1))
+                       * (a.ey2-a.ey1))
+                     // ((a.ex2-a.ex1)*(b.ey2-b.ey1)
+                       - (a.ey2-a.ey1)*(b.ex2-b.ex1)) AS y
+              FROM ed a JOIN ed b ON b.k = a.k
+              WHERE a.poly = 0 AND b.poly = 1
+                AND ((a.ex2-a.ex1)*(b.ey1-a.ey1)
+                   - (a.ey2-a.ey1)*(b.ex1-a.ex1))
+                  * ((a.ex2-a.ex1)*(b.ey2-a.ey1)
+                   - (a.ey2-a.ey1)*(b.ex2-a.ex1)) < 0
+                AND ((b.ex2-b.ex1)*(a.ey1-b.ey1)
+                   - (b.ey2-b.ey1)*(a.ex1-b.ex1))
+                  * ((b.ex2-b.ex1)*(a.ey2-b.ey1)
+                   - (b.ey2-b.ey1)*(a.ex2-b.ex1)) < 0),
+            evy AS (SELECT DISTINCT k, y FROM (
+                      SELECT k, vy AS y FROM av
+                      UNION ALL SELECT k, vy FROM bv
+                      UNION ALL SELECT k, y FROM xys)),
+            sl AS (SELECT k, ylo, yhi, (ylo + yhi) // 2 AS ym FROM (
+                     SELECT k, y AS ylo,
+                            lead(y) OVER (PARTITION BY k ORDER BY y)
+                              AS yhi
+                     FROM evy) WHERE yhi IS NOT NULL),
+            xing AS (SELECT s.k, s.ylo, s.yhi, e.poly,
+                e.ex1 + CASE WHEN e.ey2 = e.ey1 THEN 0
+                  ELSE (s.ym - e.ey1) * ((e.ex2-e.ex1) // (e.ey2-e.ey1))
+                  END AS xc,
+                e.ex1 + CASE WHEN e.ey2 = e.ey1 THEN 0
+                  ELSE (s.ylo - e.ey1) * ((e.ex2-e.ex1) // (e.ey2-e.ey1))
+                  END AS xat_lo,
+                e.ex1 + CASE WHEN e.ey2 = e.ey1 THEN 0
+                  ELSE (s.yhi - e.ey1) * ((e.ex2-e.ex1) // (e.ey2-e.ey1))
+                  END AS xat_hi
+              FROM sl s JOIN ed e ON e.k = s.k
+              WHERE least(e.ey1, e.ey2) < s.ym
+                AND s.ym < greatest(e.ey1, e.ey2)),
+            dl AS (SELECT k, ylo, yhi, poly, xc, xat_lo, xat_hi,
+                CASE WHEN row_number() OVER (
+                  PARTITION BY k, ylo, poly ORDER BY xc) % 2 = 1
+                  THEN 1 ELSE -1 END AS d
+              FROM xing),
+            ev AS (SELECT k, ylo, yhi, xc,
+                SUM(CASE WHEN poly = 0 THEN d ELSE 0 END) AS da,
+                SUM(CASE WHEN poly = 1 THEN d ELSE 0 END) AS db,
+                MIN(xat_lo) AS xat_lo, MIN(xat_hi) AS xat_hi
+              FROM dl GROUP BY k, ylo, yhi, xc),
+            tr0 AS (SELECT k, ylo, yhi, xc, xat_lo, xat_hi,
+                SUM(da) OVER (PARTITION BY k, ylo ORDER BY xc
+                              ROWS UNBOUNDED PRECEDING) AS ca,
+                SUM(db) OVER (PARTITION BY k, ylo ORDER BY xc
+                              ROWS UNBOUNDED PRECEDING) AS cb,
+                SUM(da) OVER (PARTITION BY k, ylo ORDER BY xc
+                              ROWS UNBOUNDED PRECEDING) - da AS pca,
+                SUM(db) OVER (PARTITION BY k, ylo ORDER BY xc
+                              ROWS UNBOUNDED PRECEDING) - db AS pcb
+              FROM ev),
+            st AS (SELECT k, ylo, yhi, xat_lo, xat_hi,
+                row_number() OVER (PARTITION BY k, ylo ORDER BY xc)
+                  AS rn
+              FROM tr0 WHERE ca = 1 AND cb = 1
+                AND NOT (pca = 1 AND pcb = 1)),
+            en AS (SELECT k, ylo, xat_lo, xat_hi,
+                row_number() OVER (PARTITION BY k, ylo ORDER BY xc)
+                  AS rn
+              FROM tr0 WHERE pca = 1 AND pcb = 1
+                AND NOT (ca = 1 AND cb = 1))
+            SELECT s.k AS pair_id,
+              CAST(s.ylo AS BIGINT) AS ylo,
+              CAST(s.yhi AS BIGINT) AS yhi,
+              CAST(s.xat_lo AS BIGINT) AS xl_lo,
+              CAST(s.xat_hi AS BIGINT) AS xl_hi,
+              CAST(e.xat_lo AS BIGINT) AS xr_lo,
+              CAST(e.xat_hi AS BIGINT) AS xr_hi
+            FROM st s JOIN en e
+              ON e.k = s.k AND e.ylo = s.ylo AND e.rn = s.rn
         """,
         # RESULT-GEOMETRY replay: same sweep as poly_boolean_sweep,
         # but xing carries each edge's x at BOTH slab extremes and

@@ -257,20 +257,30 @@ def open_buffer_square_measures(xs, ys, r):
     return len_l1, _union_area2(pieces)
 
 
-def union_trapezoids(ax, ay, bx, by):
-    """RESULT GEOMETRY for the pair union (not just measures): the
-    standard trapezoidal decomposition. Each slab's maximal covered
-    (in A or in B) intervals become trapezoids; corners are the exact
-    x's of the bounding edges at the slab's y-extremes. Returns rows
+_TRAP_PREDS = {
+    "union": lambda a, b: a == 1 or b == 1,
+    "inter": lambda a, b: a == 1 and b == 1,
+    "diff": lambda a, b: a == 1 and b == 0,
+    "xor": lambda a, b: a != b,
+}
+
+
+def pair_trapezoids(ax, ay, bx, by, op="union"):
+    """RESULT GEOMETRY for any of the four ClipType ops (not just
+    measures): the standard trapezoidal decomposition of op(A, B).
+    Each slab's maximal intervals where the op's coverage predicate
+    holds become trapezoids; corners are the exact x's of the
+    bounding edges at the slab's y-extremes. Returns rows
     (ylo, yhi, xl_lo, xl_hi, xr_lo, xr_hi) — left edge runs
     (xl_lo, ylo)→(xl_hi, yhi), right edge (xr_lo, ylo)→(xr_hi, yhi);
-    their union is EXACTLY A ∪ B (disjoint interiors).
+    their union is EXACTLY op(A, B) (disjoint interiors).
 
     Boundary-edge attribution is well-defined: two edges can only
     share a midline x if they are collinear across the slab (a proper
     crossing at the midline would itself be an event y, and midlines
     are strictly between events), so ties carry identical corner x's.
     """
+    pred = _TRAP_PREDS[op]
     ea = _edges(ax, ay)
     eb = _edges(bx, by)
     events = sorted(
@@ -280,9 +290,9 @@ def union_trapezoids(ax, ay, bx, by):
     for k in range(len(events) - 1):
         ylo, yhi = events[k], events[k + 1]
         ym = Fraction(ylo + yhi, 2)
-        # per-edge crossing records: (x_mid, x_at_ylo, x_at_yhi, delta)
+        # per-x records: (x_at_ylo, x_at_yhi, delta_A, delta_B)
         recs = {}
-        for es in (ea, eb):
+        for poly, es in enumerate((ea, eb)):
             xs = []
             for (x1, y1, x2, y2) in es:
                 lo, hi = (y1, y2) if y1 <= y2 else (y2, y1)
@@ -297,22 +307,33 @@ def union_trapezoids(ax, ay, bx, by):
             for t, (xm, xlo, xhi) in enumerate(xs):
                 d = 1 if t % 2 == 0 else -1
                 if xm in recs:
-                    recs[xm] = (recs[xm][0], recs[xm][1],
-                                recs[xm][2] + d)
+                    r = recs[xm]
+                    recs[xm] = (r[0], r[1],
+                                r[2] + (d if poly == 0 else 0),
+                                r[3] + (d if poly == 1 else 0))
                 else:
-                    recs[xm] = (xlo, xhi, d)
-        cov = 0
+                    recs[xm] = (xlo, xhi,
+                                d if poly == 0 else 0,
+                                d if poly == 1 else 0)
+        ca = cb = 0
+        inside = False
         left = None
         for xm in sorted(recs):
-            xlo, xhi, d = recs[xm]
-            prev = cov
-            cov += d
-            if prev == 0 and cov >= 1:
+            xlo, xhi, da, db = recs[xm]
+            ca += da
+            cb += db
+            now = pred(ca, cb)
+            if now and not inside:
                 left = (xlo, xhi)
-            elif prev >= 1 and cov == 0:
+            elif inside and not now:
                 out.append((ylo, yhi, left[0], left[1], xlo, xhi))
-                left = None
+            inside = now
     return out
+
+
+def union_trapezoids(ax, ay, bx, by):
+    """Backward-compatible alias: trapezoid decomposition of A ∪ B."""
+    return pair_trapezoids(ax, ay, bx, by, "union")
 
 
 def minkowski_any_convex_measures(ax, ay, bx, by):

@@ -218,22 +218,23 @@ TRAPEZOID_SCHEMA = (
 )
 
 
-def union_trapezoid_rows(pairs: DataFrame) -> DataFrame:
-    """RESULT GEOMETRY of the pair union (kernels/polysweep.py
-    ``union_trapezoids``): each input pair explodes into its exact
-    trapezoidal decomposition — the materialized boolean result a
-    downstream rasterizer or clipper consumes, not just measures.
-    Rows: (pair_id, ylo, yhi, xl_lo, xl_hi, xr_lo, xr_hi); corners are
-    exact BIGINTs on octilinear corpora. Pure map + explode — no
-    shuffle."""
+def union_trapezoid_rows(pairs: DataFrame, op: str = "union") -> DataFrame:
+    """RESULT GEOMETRY of any ClipType op on the pair (kernels/
+    polysweep.py ``pair_trapezoids``): each input pair explodes into
+    the exact trapezoidal decomposition of op(A, B) — the materialized
+    boolean result a downstream rasterizer or clipper consumes, not
+    just measures. op in {union, inter, diff, xor}. Rows: (pair_id,
+    ylo, yhi, xl_lo, xl_hi, xr_lo, xr_hi); corners are exact BIGINTs
+    on octilinear corpora (non-integral corners raise). Pure map +
+    explode — no shuffle."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mvtspark.kernels.polysweep import union_trapezoids
+        from mvtspark.kernels.polysweep import pair_trapezoids
 
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                for tz in union_trapezoids(r.ax, r.ay, r.bx, r.by):
+                for tz in pair_trapezoids(r.ax, r.ay, r.bx, r.by, op):
                     if any(v.denominator != 1 for v in map(Fraction, tz)):
                         raise ValueError(
                             "non-integral trapezoid corner for pair "

@@ -395,23 +395,28 @@ def test_union_trapezoids_tile_exactly():
          (_xy(OCT))),
         (([0, 1, 1, 0], [0, 0, 1, 1]), ([5, 6, 6, 5], [0, 0, 1, 1])),
     ]
+    from mvtspark.kernels.polysweep import pair_trapezoids
+
     for a, b in cases:
-        tr = union_trapezoids(a[0], a[1], b[0], b[1])
-        u2 = boolean_pair_measures(a[0], a[1], b[0], b[1])[1]
-        tot = Fr(0)
-        for (ylo, yhi, xl0, xl1, xr0, xr1) in tr:
-            assert ylo < yhi
-            assert xl0 <= xr0 and xl1 <= xr1
-            tot += (yhi - ylo) * ((xr0 - xl0) + (xr1 - xl1))
-        assert tot == u2
-        by_slab = {}
-        for t in tr:
-            by_slab.setdefault((t[0], t[1]), []).append(t)
-        for slab in by_slab.values():
-            slab.sort(key=lambda t: t[2])
-            for p, q in zip(slab, slab[1:]):
-                # disjoint interiors at both extremes
-                assert p[4] <= q[2] and p[5] <= q[3]
+        measures = boolean_pair_measures(a[0], a[1], b[0], b[1])
+        assert union_trapezoids(a[0], a[1], b[0], b[1]) == \
+            pair_trapezoids(a[0], a[1], b[0], b[1], "union")
+        for idx, op in enumerate(("inter", "union", "diff", "xor")):
+            tr = pair_trapezoids(a[0], a[1], b[0], b[1], op)
+            tot = Fr(0)
+            for (ylo, yhi, xl0, xl1, xr0, xr1) in tr:
+                assert ylo < yhi
+                assert xl0 <= xr0 and xl1 <= xr1
+                tot += (yhi - ylo) * ((xr0 - xl0) + (xr1 - xl1))
+            assert tot == measures[idx]
+            by_slab = {}
+            for t in tr:
+                by_slab.setdefault((t[0], t[1]), []).append(t)
+            for slab in by_slab.values():
+                slab.sort(key=lambda t: t[2])
+                for p, q in zip(slab, slab[1:]):
+                    # disjoint interiors at both extremes
+                    assert p[4] <= q[2] and p[5] <= q[3]
 
 
 def test_negative_radius_rejected():
