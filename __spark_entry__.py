@@ -3103,6 +3103,43 @@ def poly_inter_trapezoids(spark: SparkSession, sf: str) -> DataFrame:
     return union_trapezoid_rows(pairs, op="inter")
 
 
+def poly_xor_components(spark: SparkSession, sf: str) -> DataFrame:
+    """REGION TOPOLOGY of the symmetric difference (operators/
+    boolean.py ``region_component_stats``): how many connected lobes
+    A △ B shatters into (interior connectivity over the trapezoid
+    decomposition — corner touches do not connect), plus the xor
+    area. This is the part of Vatti's Execute output (number of
+    result polygons) that area measures cannot see. Same notched-rect
+    × octagon corpus. ORACLED: DuckDB rebuilds the xor trapezoids,
+    connects them with a recursive min-label CTE (the
+    grid_density_clusters pattern), and counts components."""
+    from mvtspark.operators.boolean import region_component_stats
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf, "orders").where(k % 41 == 3)
+    x0 = 2 * ((k * 17) % 50)
+    y0 = 2 * ((k * 29) % 50)
+    x1 = x0 + 2 * (12 + k % 10)
+    y1 = y0 + 2 * (8 + (k * 7) % 12)
+    nx0 = x0 + 2 * (1 + (k * 3) % 5)
+    nx1 = nx0 + 2 * (2 + (k * 5) % 5)
+    ny = y1 - 2 * (2 + (k * 11) % 5)
+    s = 1 + k % 4
+    tx = 2 * ((k * 3) % 60)
+    ty = 2 * ((k * 13) % 60)
+    g = lambda c: c.cast("long")  # noqa: E731
+    pairs = o.select(
+        k.alias("pair_id"),
+        F.array(g(x0), g(x1), g(x1), g(nx1),
+                g(nx1), g(nx0), g(nx0), g(x0)).alias("ax"),
+        F.array(g(y0), g(y0), g(y1), g(y1),
+                g(ny), g(ny), g(y1), g(y1)).alias("ay"),
+        F.array(*[g(F.lit(ox) * s + tx) for ox, _ in _OCT_BASE]).alias("bx"),
+        F.array(*[g(F.lit(oy) * s + ty) for _, oy in _OCT_BASE]).alias("by"),
+    )
+    return region_component_stats(pairs, op="xor")
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3124,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_buffer": polyline_buffer,
         "poly_union_trapezoids": poly_union_trapezoids,
         "poly_inter_trapezoids": poly_inter_trapezoids,
+        "poly_xor_components": poly_xor_components,
         "poly_union_area": poly_union_area,
         "minkowski_sum_area": minkowski_sum_area,
         "jpeg_roundtrip_psnr": jpeg_roundtrip_psnr,
@@ -3974,6 +4012,148 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(2*m.md, 0) AS BIGINT) AS diff_area2,
               CAST(COALESCE(2*m.mx, 0) AS BIGINT) AS xor_area2
             FROM pr p LEFT JOIN meas m ON m.k = p.k
+        """,
+        # TOPOLOGY replay: xor trapezoids from the sweep, connected by
+        # a recursive min-label CTE over interior adjacency (strict
+        # x-overlap at the shared slab boundary), components counted.
+        "poly_xor_components": """
+            WITH RECURSIVE ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 41 = 3),
+            pr AS (SELECT k,
+                2*((k*17) % 50) AS x0, 2*((k*29) % 50) AS y0,
+                2*((k*17) % 50) + 2*(12 + k % 10) AS x1,
+                2*((k*29) % 50) + 2*(8 + (k*7) % 12) AS y1,
+                2*((k*17) % 50) + 2*(1 + (k*3) % 5) AS nx0,
+                2*((k*17) % 50) + 2*(1 + (k*3) % 5)
+                  + 2*(2 + (k*5) % 5) AS nx1,
+                2*((k*29) % 50) + 2*(8 + (k*7) % 12)
+                  - 2*(2 + (k*11) % 5) AS ny,
+                1 + k % 4 AS s,
+                2*((k*3) % 60) AS tx, 2*((k*13) % 60) AS ty
+              FROM ks),
+            av AS (SELECT k, i,
+                CASE i WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1
+                       WHEN 3 THEN nx1 WHEN 4 THEN nx1 WHEN 5 THEN nx0
+                       WHEN 6 THEN nx0 ELSE x0 END AS vx,
+                CASE i WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y1
+                       WHEN 3 THEN y1 WHEN 4 THEN ny WHEN 5 THEN ny
+                       ELSE y1 END AS vy
+              FROM pr, range(8) t(i)),
+            ob(i, ox, oy) AS (SELECT * FROM (VALUES
+              (0,2,0),(1,6,0),(2,8,2),(3,8,6),
+              (4,6,8),(5,2,8),(6,0,6),(7,0,2))),
+            bv AS (SELECT k, i, ox*s + tx AS vx, oy*s + ty AS vy
+                   FROM pr, ob),
+            ed AS (
+              SELECT a1.k, 0 AS poly, a1.vx AS ex1, a1.vy AS ey1,
+                     a2.vx AS ex2, a2.vy AS ey2
+                FROM av a1 JOIN av a2
+                  ON a2.k = a1.k AND a2.i = (a1.i + 1) % 8
+              UNION ALL
+              SELECT b1.k, 1, b1.vx, b1.vy, b2.vx, b2.vy
+                FROM bv b1 JOIN bv b2
+                  ON b2.k = b1.k AND b2.i = (b1.i + 1) % 8),
+            xys AS (SELECT a.k,
+                a.ey1 + (((b.ex1-a.ex1)*(b.ey2-b.ey1)
+                        - (b.ey1-a.ey1)*(b.ex2-b.ex1))
+                       * (a.ey2-a.ey1))
+                     // ((a.ex2-a.ex1)*(b.ey2-b.ey1)
+                       - (a.ey2-a.ey1)*(b.ex2-b.ex1)) AS y
+              FROM ed a JOIN ed b ON b.k = a.k
+              WHERE a.poly = 0 AND b.poly = 1
+                AND ((a.ex2-a.ex1)*(b.ey1-a.ey1)
+                   - (a.ey2-a.ey1)*(b.ex1-a.ex1))
+                  * ((a.ex2-a.ex1)*(b.ey2-a.ey1)
+                   - (a.ey2-a.ey1)*(b.ex2-a.ex1)) < 0
+                AND ((b.ex2-b.ex1)*(a.ey1-b.ey1)
+                   - (b.ey2-b.ey1)*(a.ex1-b.ex1))
+                  * ((b.ex2-b.ex1)*(a.ey2-b.ey1)
+                   - (b.ey2-b.ey1)*(a.ex2-b.ex1)) < 0),
+            evy AS (SELECT DISTINCT k, y FROM (
+                      SELECT k, vy AS y FROM av
+                      UNION ALL SELECT k, vy FROM bv
+                      UNION ALL SELECT k, y FROM xys)),
+            sl AS (SELECT k, ylo, yhi, (ylo + yhi) // 2 AS ym FROM (
+                     SELECT k, y AS ylo,
+                            lead(y) OVER (PARTITION BY k ORDER BY y)
+                              AS yhi
+                     FROM evy) WHERE yhi IS NOT NULL),
+            xing AS (SELECT s.k, s.ylo, s.yhi, e.poly,
+                e.ex1 + CASE WHEN e.ey2 = e.ey1 THEN 0
+                  ELSE (s.ym - e.ey1) * ((e.ex2-e.ex1) // (e.ey2-e.ey1))
+                  END AS xc,
+                e.ex1 + CASE WHEN e.ey2 = e.ey1 THEN 0
+                  ELSE (s.ylo - e.ey1) * ((e.ex2-e.ex1) // (e.ey2-e.ey1))
+                  END AS xat_lo,
+                e.ex1 + CASE WHEN e.ey2 = e.ey1 THEN 0
+                  ELSE (s.yhi - e.ey1) * ((e.ex2-e.ex1) // (e.ey2-e.ey1))
+                  END AS xat_hi
+              FROM sl s JOIN ed e ON e.k = s.k
+              WHERE least(e.ey1, e.ey2) < s.ym
+                AND s.ym < greatest(e.ey1, e.ey2)),
+            dl AS (SELECT k, ylo, yhi, poly, xc, xat_lo, xat_hi,
+                CASE WHEN row_number() OVER (
+                  PARTITION BY k, ylo, poly ORDER BY xc) % 2 = 1
+                  THEN 1 ELSE -1 END AS d
+              FROM xing),
+            ev AS (SELECT k, ylo, yhi, xc,
+                SUM(CASE WHEN poly = 0 THEN d ELSE 0 END) AS da,
+                SUM(CASE WHEN poly = 1 THEN d ELSE 0 END) AS db,
+                MIN(xat_lo) AS xat_lo, MIN(xat_hi) AS xat_hi
+              FROM dl GROUP BY k, ylo, yhi, xc),
+            tr0 AS (SELECT k, ylo, yhi, xc, xat_lo, xat_hi,
+                SUM(da) OVER (PARTITION BY k, ylo ORDER BY xc
+                              ROWS UNBOUNDED PRECEDING) AS ca,
+                SUM(db) OVER (PARTITION BY k, ylo ORDER BY xc
+                              ROWS UNBOUNDED PRECEDING) AS cb,
+                SUM(da) OVER (PARTITION BY k, ylo ORDER BY xc
+                              ROWS UNBOUNDED PRECEDING) - da AS pca,
+                SUM(db) OVER (PARTITION BY k, ylo ORDER BY xc
+                              ROWS UNBOUNDED PRECEDING) - db AS pcb
+              FROM ev),
+            st AS (SELECT k, ylo, yhi, xat_lo, xat_hi, xc,
+                row_number() OVER (PARTITION BY k, ylo ORDER BY xc)
+                  AS rn
+              FROM tr0 WHERE ca <> cb AND NOT (pca <> pcb)),
+            en AS (SELECT k, ylo, xat_lo, xat_hi,
+                row_number() OVER (PARTITION BY k, ylo ORDER BY xc)
+                  AS rn
+              FROM tr0 WHERE pca <> pcb AND NOT (ca <> cb)),
+            traps AS (SELECT s.k, s.ylo, s.yhi,
+                s.xat_lo AS xl_lo, s.xat_hi AS xl_hi,
+                e.xat_lo AS xr_lo, e.xat_hi AS xr_hi,
+                row_number() OVER (PARTITION BY s.k
+                                   ORDER BY s.ylo, s.xc) AS tid
+              FROM st s JOIN en e
+                ON e.k = s.k AND e.ylo = s.ylo AND e.rn = s.rn),
+            adj AS (
+              SELECT t1.k, t1.tid AS t_from, t2.tid AS t_to
+              FROM traps t1 JOIN traps t2
+                ON t2.k = t1.k AND t2.ylo = t1.yhi
+               AND t1.xl_hi < t2.xr_lo AND t2.xl_lo < t1.xr_hi
+              UNION ALL
+              SELECT t1.k, t2.tid, t1.tid
+              FROM traps t1 JOIN traps t2
+                ON t2.k = t1.k AND t2.ylo = t1.yhi
+               AND t1.xl_hi < t2.xr_lo AND t2.xl_lo < t1.xr_hi),
+            reach(k, tid, lbl) AS (
+              SELECT k, tid, tid FROM traps
+              UNION
+              SELECT a.k, a.t_to, r.lbl
+              FROM reach r JOIN adj a
+                ON a.k = r.k AND a.t_from = r.tid),
+            lab AS (SELECT k, tid, MIN(lbl) AS lbl
+                    FROM reach GROUP BY k, tid),
+            comp AS (SELECT k, COUNT(DISTINCT lbl) AS n FROM lab
+                     GROUP BY k),
+            ar AS (SELECT k, SUM((yhi-ylo)*((xr_lo-xl_lo)
+                                          + (xr_hi-xl_hi))) AS a2
+                   FROM traps GROUP BY k)
+            SELECT p.k AS pair_id,
+              CAST(COALESCE(c.n, 0) AS BIGINT) AS n_components,
+              CAST(COALESCE(a.a2, 0) AS BIGINT) AS area2
+            FROM pr p LEFT JOIN comp c ON c.k = p.k
+            LEFT JOIN ar a ON a.k = p.k
         """,
         # RESULT-GEOMETRY replay for the INTERSECTION: per-polygon
         # coverage tracked separately; trapezoids pair transitions of

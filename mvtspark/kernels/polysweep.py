@@ -336,6 +336,44 @@ def union_trapezoids(ax, ay, bx, by):
     return pair_trapezoids(ax, ay, bx, by, "union")
 
 
+def region_components(ax, ay, bx, by, op="union"):
+    """(n_components, area2) — REGION TOPOLOGY of op(A, B): the
+    number of connected components (by INTERIOR connectivity: two
+    trapezoids connect iff they share a slab boundary y and their
+    x-intervals there overlap with positive length — corner touches
+    do not connect; side-by-side coverage within one slab is already
+    one trapezoid), plus the region area closing the measure. This is
+    the piece of Vatti's output (how many result polygons) that area
+    measures alone cannot see — e.g. the XOR of two overlapping rings
+    shatters into many lobes."""
+    tr = pair_trapezoids(ax, ay, bx, by, op)
+    n = len(tr)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        (ylo_i, yhi_i, _, xl_hi_i, _, xr_hi_i) = tr[i]
+        for j in range(n):
+            if tr[j][0] != yhi_i:
+                continue
+            (_, _, xl_lo_j, _, xr_lo_j, _) = tr[j]
+            # strict overlap at the shared y = yhi_i
+            if xl_hi_i < xr_lo_j and xl_lo_j < xr_hi_i:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+    comps = len({find(i) for i in range(n)})
+    area2 = Fraction(0)
+    for (ylo, yhi, xl0, xl1, xr0, xr1) in tr:
+        area2 += (yhi - ylo) * ((xr0 - xl0) + (xr1 - xl1))
+    return comps, area2
+
+
 def minkowski_any_convex_measures(ax, ay, bx, by):
     """(a_area2, sum_area2) for the Minkowski sum A ⊕ B of an
     ARBITRARY simple ring A with a CONVEX ring B — past polyclip.py's

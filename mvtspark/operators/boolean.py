@@ -250,6 +250,32 @@ def union_trapezoid_rows(pairs: DataFrame, op: str = "union") -> DataFrame:
     return pairs.mapInPandas(_run, TRAPEZOID_SCHEMA)
 
 
+COMPONENT_SCHEMA = "pair_id long, n_components long, area2 long"
+
+
+def region_component_stats(pairs: DataFrame, op: str = "xor") -> DataFrame:
+    """REGION TOPOLOGY of op(A, B) per pair (kernels/polysweep.py
+    ``region_components``): the connected-component count of the
+    result region (interior connectivity over the trapezoid
+    decomposition) plus its area — the piece of Vatti's output (how
+    many result polygons) that measures alone cannot see. Pure map —
+    no shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mvtspark.kernels.polysweep import region_components
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n, a2 = region_components(r.ax, r.ay, r.bx, r.by, op)
+                rows.append((int(r.pair_id), int(n), _as_long(a2)))
+            yield pd.DataFrame(
+                rows, columns=["pair_id", "n_components", "area2"]
+            )
+
+    return pairs.mapInPandas(_run, COMPONENT_SCHEMA)
+
+
 MINK_ANY_SCHEMA = "pair_id long, a_area2 long, sum_area2 long"
 
 

@@ -435,6 +435,34 @@ def test_negative_radius_rejected():
         offset_rectilinear(None, -2)
 
 
+def test_region_components_topology():
+    """Interior-connectivity component counts: overlap=1, disjoint=2,
+    CORNER TOUCH=2 (not connected), shared vertical edge=1 (merged in
+    one slab interval), shared horizontal edge=1 (the shared open
+    segment is interior to the union), nested=1; xor of identical
+    rings = 0 lobes; xor of the notch-octagon pair = 4 lobes; every
+    component count pairs with the exact area closing the measure."""
+    from mvtspark.kernels.polysweep import (
+        boolean_pair_measures, region_components)
+
+    u = lambda *a: region_components(*a, op="union")  # noqa: E731
+    assert u([0, 2, 2, 0], [0, 0, 2, 2], [1, 3, 3, 1], [0, 0, 2, 2])[0] == 1
+    assert u([0, 1, 1, 0], [0, 0, 1, 1], [5, 6, 6, 5], [0, 0, 1, 1])[0] == 2
+    assert u([0, 2, 2, 0], [0, 0, 2, 2], [2, 4, 4, 2], [2, 2, 4, 4])[0] == 2
+    assert u([0, 2, 2, 0], [0, 0, 3, 3], [2, 5, 5, 2], [0, 0, 3, 3])[0] == 1
+    assert u([0, 2, 2, 0], [0, 0, 2, 2], [0, 2, 2, 0], [2, 2, 4, 4])[0] == 1
+    assert u([0, 10, 10, 0], [0, 0, 10, 10],
+             [2, 4, 4, 2], [2, 2, 4, 4])[0] == 1
+    assert region_components(
+        [0, 4, 4, 0], [0, 0, 4, 4], [0, 4, 4, 0], [0, 0, 4, 4], "xor"
+    ) == (0, 0)
+    ax, ay = [0, 12, 12, 8, 8, 4, 4, 0], [0, 0, 10, 10, 6, 6, 10, 10]
+    bx, by = _xy(OCT)
+    n, a2 = region_components(ax, ay, bx, by, "xor")
+    assert n == 4
+    assert a2 == boolean_pair_measures(ax, ay, bx, by)[3]
+
+
 def test_minkowski_any_vs_convex_edge_merge():
     """For CONVEX A the sweep-based sum must agree with the angular
     edge merge (kernels/polyclip.py) — two unrelated algorithms."""
